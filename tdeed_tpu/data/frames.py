@@ -1,0 +1,135 @@
+"""Frame decoding: JPEG -> (H, W, 3) uint8 numpy, NHWC from the start.
+
+Backends, in preference order:
+  * 'native' — first-party C++ libjpeg(-turbo) batch decoder
+    (tdeed_tpu/native/), releases the GIL, one thread per frame;
+  * 'cv2'    — OpenCV imdecode (libjpeg-turbo under the hood, releases GIL);
+  * 'pil'    — Pillow fallback.
+
+The reference decodes with torchvision.io.read_image into CHW uint8
+(ref: dataset/frame.py:270-272); we decode straight to HWC, the layout the
+TPU model consumes, so no host-side transpose ever happens.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional
+
+import numpy as np
+
+_cv2 = None
+_pil = None
+
+
+def _get_cv2():
+    global _cv2
+    if _cv2 is None:
+        import cv2
+
+        _cv2 = cv2
+    return _cv2
+
+
+def _decode_cv2(path: str) -> np.ndarray:
+    cv2 = _get_cv2()
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img[:, :, ::-1]  # BGR -> RGB
+
+
+def _decode_pil(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def get_decoder(kind: str = "auto") -> Callable[[str], np.ndarray]:
+    if kind in ("auto", "native"):
+        try:
+            from tdeed_tpu.native import jpeg as native_jpeg
+
+            if native_jpeg.available():
+                return native_jpeg.decode
+        except Exception:
+            if kind == "native":
+                raise
+    if kind in ("auto", "cv2"):
+        try:
+            _get_cv2()
+            return _decode_cv2
+        except Exception:
+            if kind == "cv2":
+                raise
+    return _decode_pil
+
+
+def load_clip(
+    paths: list,
+    stride: int,
+    decoder: Callable[[str], np.ndarray],
+    pad: bool = True,
+) -> np.ndarray:
+    """Decode a stored clip record into (T, H, W, 3) uint8.
+
+    paths = [base_path, found_start, pad_start, pad_end, ndigits, length]
+    (the reference pickle format; ref: dataset/frame.py:355-382). Start is
+    always zero-padded; end only when pad=True.
+    """
+    base_path, start, pad_start, pad_end, ndigits, length = paths
+    n_real = length - pad_start - pad_end
+    frames: List[np.ndarray] = []
+    for j in range(n_real):
+        idx = start + j * stride
+        if ndigits > 0:
+            fp = os.path.join(base_path, str(idx).zfill(ndigits) + ".jpg")
+        else:
+            fp = os.path.join(base_path, f"frame{idx}.jpg")
+        frames.append(decoder(fp))
+    arr = np.stack(frames, axis=0)
+    n_end = pad_end if pad else 0
+    if pad_start > 0 or n_end > 0:
+        arr = np.pad(arr, ((pad_start, n_end), (0, 0), (0, 0), (0, 0)))
+    return arr
+
+
+def load_window(
+    spec,
+    frame_dir: str,
+    video: str,
+    start: int,
+    end: int,
+    stride: int,
+    decoder: Callable[[str], np.ndarray],
+    pad: bool = True,
+    source_info: Optional[dict] = None,
+) -> Optional[np.ndarray]:
+    """Eval-time window read with missing-frame end padding
+    (ref: dataset/frame.py:558-626). Returns None if no frame decoded."""
+    path, frame0, ndigits = spec.scheme.resolve(frame_dir, video, source_info)
+    frames: List[np.ndarray] = []
+    n_pad_start = 0
+    n_pad_end = 0
+    for frame_num in range(start, end, stride):
+        if frame_num < 0:
+            n_pad_start += 1
+            continue
+        idx = frame0 + frame_num
+        if ndigits > 0:
+            fp = os.path.join(path, str(idx).zfill(ndigits) + ".jpg")
+        else:
+            fp = os.path.join(path, f"frame{idx}.jpg")
+        try:
+            frames.append(decoder(fp))
+        except (FileNotFoundError, OSError):
+            n_pad_end += 1
+    if not frames:
+        return None
+    arr = np.stack(frames, axis=0)
+    if n_pad_start > 0 or (pad and n_pad_end > 0):
+        arr = np.pad(
+            arr, ((n_pad_start, n_pad_end if pad else 0), (0, 0), (0, 0), (0, 0))
+        )
+    return arr

@@ -1,0 +1,182 @@
+"""Host-side input pipeline: random clip sampling, threaded decode, batching,
+and async device prefetch.
+
+Replaces the reference's torch DataLoader worker processes
+(ref: train_tdeed.py:131-139) with a thread pool (JPEG decode releases the
+GIL in every backend) plus a bounded prefetch queue that overlaps decode,
+batch assembly and H2D transfer with device compute. __getitem__-equivalent
+sampling ignores the index and draws a uniform random stored clip, so the
+epoch length is virtual: dataset_len = epoch_num_frames // clip_len
+(ref: dataset/frame.py:210-253, dataset/datasets.py:22).
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from tdeed_tpu.data.clips import ClipPlan, rasterize_labels
+from tdeed_tpu.data.frames import get_decoder, load_clip
+
+
+class ClipSampler:
+    """Uniform random sampler over a stored clip plan (one dataset split)."""
+
+    def __init__(
+        self,
+        plan: ClipPlan,
+        clip_len: int,
+        stride: int,
+        radi_displacement: int,
+        mixup: bool,
+        decoder: Callable[[str], np.ndarray] = None,
+        dataset_tag: Optional[int] = None,
+    ):
+        assert len(plan) > 0
+        self.plan = plan
+        self.clip_len = clip_len
+        self.stride = stride
+        self.radi = radi_displacement
+        self.mixup = mixup
+        self.decoder = decoder or get_decoder()
+        self.dataset_tag = dataset_tag
+
+    def _get_one(self, rng: random.Random) -> Dict[str, np.ndarray]:
+        idx = rng.randint(0, len(self.plan) - 1)  # ref: frame.py:212
+        frames = load_clip(
+            self.plan.frame_paths[idx], self.stride, self.decoder, pad=True
+        )
+        labels, labels_d = rasterize_labels(
+            self.plan.labels[idx],
+            self.plan.labels_d[idx] if self.plan.labels_d is not None else None,
+            self.clip_len,
+        )
+        out = {"frame": frames, "label": labels.astype(np.int32)}
+        if labels_d is not None:
+            out["labelD"] = labels_d.astype(np.float32)
+        return out
+
+    def sample(self, rng: random.Random) -> Dict[str, np.ndarray]:
+        ret = self._get_one(rng)
+        if self.mixup:
+            mix = self._get_one(rng)  # ref: frame.py:244-252
+            ret["frame2"] = mix["frame"]
+            ret["label2"] = mix["label"]
+            if "labelD" in mix:
+                ret["labelD2"] = mix["labelD"]
+        if self.dataset_tag is not None:
+            ret["dataset"] = np.int32(self.dataset_tag)
+        return ret
+
+
+class JointSampler:
+    """50/50 two-dataset sampler tagging the source
+    (ref: dataset/frame.py:640-663)."""
+
+    def __init__(self, sampler1: ClipSampler, sampler2: ClipSampler):
+        self.s1 = sampler1
+        self.s2 = sampler2
+        self.s1.dataset_tag = 1
+        self.s2.dataset_tag = 2
+
+    def sample(self, rng: random.Random) -> Dict[str, np.ndarray]:
+        return (self.s1 if rng.random() < 0.5 else self.s2).sample(rng)
+
+
+def _collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+class BatchLoader:
+    """Threaded epoch iterator yielding host numpy batches.
+
+    num_batches per epoch = dataset_len // batch_size; each batch's samples
+    decode in parallel on the pool, and up to `prefetch` assembled batches
+    wait in a bounded queue.
+    """
+
+    def __init__(
+        self,
+        sampler,
+        batch_size: int,
+        dataset_len: int,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        seed: int = 1,
+    ):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.num_batches = max(1, dataset_len // batch_size)
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        base_seed = hash((self.seed, epoch)) & 0x7FFFFFFF
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for b in range(self.num_batches):
+                    if stop.is_set():
+                        break
+                    rngs = [
+                        random.Random((base_seed, b, i))
+                        for i in range(self.batch_size)
+                    ]
+                    futs = [pool.submit(self.sampler.sample, r) for r in rngs]
+                    try:
+                        batch = _collate([f.result() for f in futs])
+                    except Exception as e:  # propagate to consumer
+                        q.put(e)
+                        return
+                    q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def device_prefetch(iterator, sharding=None, depth: int = 2):
+    """Move batches to device ahead of consumption (double-buffered H2D)."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

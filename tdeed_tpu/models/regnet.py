@@ -1,0 +1,200 @@
+"""RegNet-Y backbone in Flax/NHWC with temporal-shift injection points.
+
+From-scratch implementation of the two backbones the reference builds via
+timm ('regnety_002' ~3.2M params / feat 368, 'regnety_008' ~6.3M / feat 768;
+ref: model/model.py:37-46), with a GatedShift inserted before conv1 of every
+block in stages s3/s4 (ref: model/shift.py:46-59).
+
+TPU-first choices: NHWC activations, bf16 compute with fp32 params and fp32
+batch-norm statistics; all convs lower straight onto the MXU. Stage/width
+generation follows the RegNet recipe (Radosavovic et al., 2020) with the
+timm parameterization so timm checkpoints can be converted 1:1
+(tools/import_timm_weights.py).
+
+Naming mirrors timm (stem, s1..s4, b1..bN, conv1/conv2/conv3/se/downsample)
+so the weight converter is a pure name map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tdeed_tpu.models.shift import GatedShift
+
+ARCH_PARAMS = {
+    # timm regnety_002 / regnety_008 generation parameters.
+    "rny002": dict(w0=24, wa=36.44, wm=2.49, depth=13, group_size=8),
+    "regnety_002": dict(w0=24, wa=36.44, wm=2.49, depth=13, group_size=8),
+    "rny008": dict(w0=56, wa=38.84, wm=2.4, depth=14, group_size=16),
+    "regnety_008": dict(w0=56, wa=38.84, wm=2.4, depth=14, group_size=16),
+}
+
+STEM_WIDTH = 32
+SE_RATIO = 0.25
+
+
+def generate_stages(
+    w0: float, wa: float, wm: float, depth: int, group_size: int, q: int = 8
+) -> Tuple[List[int], List[int], List[int]]:
+    """RegNet width generation + group-compat adjustment (timm semantics).
+
+    Returns (stage_widths, stage_depths, stage_groups).
+    """
+    widths_cont = w0 + wa * np.arange(depth)
+    ks = np.round(np.log(widths_cont / w0) / np.log(wm))
+    widths = w0 * np.power(wm, ks)
+    widths = (np.round(widths / q) * q).astype(int)
+    stage_widths, stage_depths = np.unique(widths, return_counts=True)
+    groups = [min(group_size, int(w)) for w in stage_widths]
+    # quantize widths to be divisible by their group size
+    stage_widths = [int(round(w / g) * g) for w, g in zip(stage_widths, groups)]
+    return stage_widths, list(int(d) for d in stage_depths), groups
+
+
+def feature_dim(arch: str) -> int:
+    p = ARCH_PARAMS[arch]
+    widths, _, _ = generate_stages(p["w0"], p["wa"], p["wm"], p["depth"], p["group_size"])
+    return widths[-1]
+
+
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm + optional ReLU, NHWC."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=self.strides,
+            padding="SAME",
+            feature_group_count=self.groups,
+            use_bias=False,
+            kernel_init=_conv_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn",
+        )(x.astype(jnp.float32))
+        if self.act:
+            x = nn.relu(x)
+        return x.astype(self.dtype or x.dtype)
+
+
+class SEModule(nn.Module):
+    """Squeeze-and-excitation; reduction channels from the *block input* width
+    (timm regnet: rd = round(in_chs * 0.25))."""
+
+    rd_channels: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(
+            self.rd_channels, (1, 1), use_bias=True,
+            kernel_init=_conv_init, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="fc1",
+        )(s)
+        s = nn.relu(s)
+        s = nn.Conv(
+            c, (1, 1), use_bias=True,
+            kernel_init=_conv_init, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="fc2",
+        )(s)
+        return x * nn.sigmoid(s)
+
+
+class YBlock(nn.Module):
+    """RegNet-Y bottleneck block (bottle_ratio=1) with optional temporal shift
+    applied to the block input before conv1 (ref: model/shift.py:89-93)."""
+
+    width: int
+    in_width: int
+    stride: int
+    group_size: int
+    shift: Optional[str] = None  # None | 'gsm' | 'gsf'
+    clip_len: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = x
+        if self.shift is not None:
+            x = GatedShift(
+                clip_len=self.clip_len, mode=self.shift, dtype=self.dtype, name="gs"
+            )(x, train)
+        w = self.width
+        out = ConvBN(w, 1, dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBN(
+            w, 3, strides=self.stride, groups=w // self.group_size,
+            dtype=self.dtype, name="conv2",
+        )(out, train)
+        out = SEModule(
+            rd_channels=int(round(self.in_width * SE_RATIO)),
+            dtype=self.dtype, name="se",
+        )(out)
+        out = ConvBN(w, 1, act=False, dtype=self.dtype, name="conv3")(out, train)
+        if self.stride != 1 or self.in_width != w:
+            shortcut = ConvBN(
+                w, 1, strides=self.stride, act=False,
+                dtype=self.dtype, name="downsample",
+            )(shortcut, train)
+        return nn.relu(out + shortcut).astype(out.dtype)
+
+
+class RegNetY(nn.Module):
+    """RegNet-Y trunk -> global-average-pooled features (N, D).
+
+    arch: 'rny002' | 'rny008' (timm regnety_002/regnety_008 topology).
+    shift_mode/clip_len: inject GatedShift in all blocks of stages 3 and 4
+    only (ref: model/shift.py:57-59).
+    """
+
+    arch: str = "rny002"
+    shift_mode: Optional[str] = None
+    clip_len: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        p = ARCH_PARAMS[self.arch]
+        widths, depths, groups = generate_stages(
+            p["w0"], p["wa"], p["wm"], p["depth"], p["group_size"]
+        )
+        x = ConvBN(STEM_WIDTH, 3, strides=2, dtype=self.dtype, name="stem")(x, train)
+        in_w = STEM_WIDTH
+        for si, (w, d, g) in enumerate(zip(widths, depths, groups)):
+            use_shift = self.shift_mode is not None and si >= 2
+            for bi in range(d):
+                x = YBlock(
+                    width=w,
+                    in_width=in_w,
+                    stride=2 if bi == 0 else 1,
+                    group_size=g,
+                    shift=self.shift_mode if use_shift else None,
+                    clip_len=self.clip_len,
+                    dtype=self.dtype,
+                    name=f"s{si + 1}_b{bi + 1}",
+                )(x, train)
+                in_w = w
+        return jnp.mean(x, axis=(1, 2))  # (N, D)

@@ -1,0 +1,45 @@
+"""Device mesh + sharding helpers for data parallelism over ICI.
+
+The reference is single-GPU (vestigial nn.DataParallel unwrapping only,
+ref: model/modules.py:47-55); here data parallelism is first-class and
+expressed through GSPMD: the batch is sharded over a 1-D 'data' mesh axis,
+params/opt-state are replicated, and XLA inserts the gradient all-reduce
+(psum over ICI) automatically because the jitted step's math is global.
+Semantics are bit-comparable to single-device execution (BatchNorm included:
+batch stats are means over the *global* batch), which tests verify on an
+8-way fake CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "data", devices=None
+) -> Mesh:
+    """1-D data-parallel mesh. On multi-host platforms pass jax.devices()."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Device-put a host batch with the leading axis sharded over the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,79 @@
+"""RegNet-Y topology and TDEED assembly sanity checks.
+
+Full timm-weight parity needs a checkpoint (no network egress here); the
+converter mapping is exercised in test_timm_convert.py. Here: stage widths
+from the RegNet generation recipe, param counts vs the reference's printed
+sizes (~2.8M/5.7M trunk after removing the 1000-class head from 3.2M/6.3M;
+ref: model/model.py:37-46,174-183), and end-to-end shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdeed_tpu.models.regnet import ARCH_PARAMS, RegNetY, feature_dim, generate_stages
+from tdeed_tpu.models.tdeed import TDEED
+
+
+def _n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def test_stage_generation():
+    p = ARCH_PARAMS["rny002"]
+    widths, depths, groups = generate_stages(
+        p["w0"], p["wa"], p["wm"], p["depth"], p["group_size"]
+    )
+    assert widths == [24, 56, 152, 368]
+    assert depths == [1, 1, 4, 7]
+    assert sum(depths) == 13
+    assert feature_dim("rny002") == 368
+
+    p = ARCH_PARAMS["rny008"]
+    widths, depths, groups = generate_stages(
+        p["w0"], p["wa"], p["wm"], p["depth"], p["group_size"]
+    )
+    assert widths[-1] == 768
+    assert sum(depths) == 14
+    assert feature_dim("rny008") == 768
+
+
+def test_regnet_forward_and_params():
+    mod = RegNetY(arch="rny002", dtype=jnp.float32)
+    x = jnp.ones((2, 64, 64, 3))
+    variables = mod.init(jax.random.PRNGKey(0), x, False)
+    y = mod.apply(variables, x, False)
+    assert y.shape == (2, 368)
+    n = _n_params(variables["params"])
+    # timm regnety_002 trunk (no classifier): ~2.8M
+    assert 2.5e6 < n < 3.1e6, n
+
+
+def test_tdeed_forward_shapes():
+    clip_len, b, hw, nc = 16, 2, 64, 4
+    mod = TDEED(
+        num_classes=nc, clip_len=clip_len, feature_arch="rny002_gsf",
+        n_layers=2, sgp_ks=7, sgp_r=4, radi_displacement=2, dtype=jnp.float32,
+    )
+    frames = jnp.zeros((b, clip_len, hw, hw, 3))
+    variables = mod.init(jax.random.PRNGKey(0), frames, False)
+    out = mod.apply(variables, frames, False)
+    assert out["logits"].shape == (b, clip_len, nc + 1)
+    assert out["displ"].shape == (b, clip_len)
+    # GSF shift params exist only in s3/s4 (ref: model/shift.py:57-59)
+    feats = variables["params"]["features"]
+    assert "gs" in feats["s3_b1"] and "gs" in feats["s4_b1"]
+    assert "gs" not in feats["s1_b1"] and "gs" not in feats["s2_b1"]
+
+
+def test_tdeed_two_heads():
+    clip_len, b, hw = 8, 1, 32
+    mod = TDEED(
+        num_classes=12, clip_len=clip_len, feature_arch="rny002_gsf",
+        n_layers=1, sgp_ks=3, sgp_r=2, radi_displacement=1,
+        two_heads=(13, 18), dtype=jnp.float32,
+    )
+    frames = jnp.zeros((b, clip_len, hw, hw, 3))
+    variables = mod.init(jax.random.PRNGKey(0), frames, False)
+    out = mod.apply(variables, frames, False)
+    assert out["logits"].shape == (b, clip_len, 31)  # 13 + 18
