@@ -1,0 +1,129 @@
+"""Orbax checkpointing: params + BN stats + optimizer state + step.
+
+The reference saves model weights only (best-epoch ``state_dict`` —
+ref: train_tdeed.py:226-238, model/modules.py:47-55), so a crashed run
+restarts from scratch. Here the full ``TrainState`` plus the epoch counter
+and the running best-criterion value are checkpointed, giving true
+mid-training resume on top of the reference's best-checkpoint semantics.
+
+Layout under ``save_dir``:
+    checkpoint_best/   — best-criterion TrainState (parity with the
+                         reference's checkpoint_best.pt)
+    checkpoint_last/   — most recent epoch (resume point)
+    train_meta.json    — {'epoch', 'best_criterion', 'history'}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from tdeed_tpu.train.state import TrainState
+
+BEST = "checkpoint_best"
+LAST = "checkpoint_last"
+META = "train_meta.json"
+
+
+def _checkpointer() -> ocp.PyTreeCheckpointer:
+    return ocp.PyTreeCheckpointer()
+
+
+def save_state(path: str, state: TrainState) -> None:
+    """Atomically write a TrainState checkpoint directory."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    # Orbax restores on the host by default; fetch to host before save so
+    # sharded device arrays serialize from one process.
+    host_state = jax.device_get(state)
+    _checkpointer().save(path, host_state)
+
+
+def restore_state(path: str, template: Optional[TrainState] = None) -> TrainState:
+    """Restore a TrainState; with a template the tree structure/dtypes are
+    validated and restored arrays adopt the template's shardings."""
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    if template is None:
+        restored = ckptr.restore(path)
+        return TrainState(**restored)
+    restored = ckptr.restore(path, item=jax.device_get(template))
+    return jax.tree.map(lambda t, r: r, template, restored)
+
+
+def save_params(path: str, params: Any, batch_stats: Any) -> None:
+    """Weights-only checkpoint (the reference's state_dict equivalent)."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _checkpointer().save(
+        path, {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
+    )
+
+
+def restore_params(path: str) -> Dict[str, Any]:
+    return _checkpointer().restore(os.path.abspath(path))
+
+
+class CheckpointManager:
+    """Best/last checkpoint pair + metadata, reference-compatible semantics."""
+
+    def __init__(self, save_dir: str):
+        self.save_dir = save_dir
+        os.makedirs(save_dir, exist_ok=True)
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.save_dir, META)
+
+    def load_meta(self) -> Dict[str, Any]:
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as fp:
+                return json.load(fp)
+        return {"epoch": -1, "best_criterion": None, "history": []}
+
+    def save_meta(self, meta: Dict[str, Any]) -> None:
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as fp:
+            json.dump(meta, fp, indent=2)
+        os.replace(tmp, self.meta_path)
+
+    def save_epoch(
+        self,
+        state: TrainState,
+        epoch: int,
+        record: Dict[str, Any],
+        is_best: bool,
+        best_criterion: Optional[float],
+    ) -> None:
+        meta = self.load_meta()
+        meta["epoch"] = epoch
+        meta["best_criterion"] = best_criterion
+        meta["history"].append(record)
+        save_state(os.path.join(self.save_dir, LAST), state)
+        if is_best:
+            save_params(
+                os.path.join(self.save_dir, BEST), state.params, state.batch_stats
+            )
+        self.save_meta(meta)
+        # loss.json parity: per-epoch history the reference stores alongside
+        # checkpoints (ref: train_tdeed.py:226-229).
+        with open(os.path.join(self.save_dir, "loss.json"), "w") as fp:
+            json.dump(meta["history"], fp, indent=2, sort_keys=True)
+
+    def restore_last(self, template: TrainState) -> tuple[TrainState, int]:
+        """(state, next_epoch) — for resume; (template, 0) when nothing saved."""
+        meta = self.load_meta()
+        last = os.path.join(self.save_dir, LAST)
+        if meta["epoch"] < 0 or not os.path.exists(last):
+            return template, 0
+        return restore_state(last, template), meta["epoch"] + 1
+
+    def restore_best(self) -> Dict[str, Any]:
+        return restore_params(os.path.join(self.save_dir, BEST))

@@ -1,0 +1,404 @@
+"""Training CLI: the reference ``train_tdeed.py`` surface, TPU-native.
+
+Orchestration parity (ref: train_tdeed.py:90-315): seed -> config ->
+store/load clip plans -> model/optimizer -> epoch loop with best-checkpoint
+selection on val loss or val mAP -> restore best -> test-split inference +
+metrics. TPU-native additions: data-parallel mesh over all local chips,
+jitted train/val steps, bf16 compute, Orbax checkpoints with true resume,
+and a threaded decode pipeline with device prefetch.
+
+Usage:
+    python train_tdeed.py --model FineDiving_small [--acc_grad_iter N]
+                          [--seed S] [--resume] [--n_devices N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+EVAL_SPLITS = ["test"]  # ref: train_tdeed.py:30
+
+
+def get_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", "-m", required=True,
+                        help="<DatasetPrefix>_<name>, resolves configs/<Prefix>/<model>.json")
+    parser.add_argument("--acc_grad_iter", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=1)
+    # TPU-native extras (no reference counterpart)
+    parser.add_argument("--config_root", default="configs")
+    parser.add_argument("--data_root", default="data",
+                        help="dataset metadata root (train/val/test.json + class.txt)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from checkpoint_last in save_dir")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="limit the data-parallel mesh (default: all local devices)")
+    parser.add_argument("--no_wandb", action="store_true")
+    return parser.parse_args(argv)
+
+
+def seed_everything(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def labels_root_for(data_root: str, dataset: str) -> Optional[str]:
+    """SN/SNB external label tree via labels_path.txt indirection
+    (ref: train_tdeed.py:102-107)."""
+    path = os.path.join(data_root, dataset, "labels_path.txt")
+    if os.path.exists(path):
+        with open(path) as fp:
+            return fp.read().strip()
+    return None
+
+
+def build_samplers(cfg, args, classes, classes2=None):
+    """Store-or-load the clip plans and build train/val samplers
+    (ref: dataset/datasets.py:19-96). In store mode this function stores
+    plans for train+val (and the pretrain dataset when set) and exits, like
+    the reference (ref: train_tdeed.py:120-122)."""
+    from tdeed_tpu.data.clips import load_plan, plan_clips, store_plan
+    from tdeed_tpu.data.loader import ClipSampler, JointSampler
+    from tdeed_tpu.data.registry import get_spec
+    from tdeed_tpu.data.frames import get_decoder
+
+    spec = get_spec(cfg.dataset)
+    labels_root = labels_root_for(args.data_root, cfg.dataset)
+    decoder = get_decoder(cfg.decoder)
+
+    def _prepare(dataset, frame_dir, store_dir, cls, splits=("train", "val")):
+        dspec = get_spec(dataset)
+        lroot = labels_root_for(args.data_root, dataset)
+        plans = {}
+        for split in splits:
+            if cfg.store_mode == "store":
+                plan = plan_clips(
+                    dataset,
+                    os.path.join(args.data_root, dataset, f"{split}.json"),
+                    frame_dir,
+                    cls,
+                    cfg.clip_len,
+                    dspec.train_stride,
+                    dspec.train_overlap,
+                    cfg.radi_displacement,
+                    labels_root=lroot,
+                )
+                store_plan(plan, store_dir, cfg.clip_len, cfg.radi_displacement, split)
+                print(f"Stored {len(plan)} {dataset}/{split} clips -> {store_dir}")
+            else:
+                plan = load_plan(store_dir, cfg.clip_len, cfg.radi_displacement, split)
+            plans[split] = plan
+        return plans
+
+    plans = _prepare(cfg.dataset, cfg.frame_dir, cfg.store_dir, classes)
+    plans2 = None
+    if cfg.pretrain is not None:
+        plans2 = _prepare(
+            cfg.pretrain.dataset,
+            cfg.pretrain.frame_dir or cfg.frame_dir,
+            cfg.pretrain.store_dir or cfg.store_dir,
+            classes2,
+        )
+    if cfg.store_mode == "store":
+        print("Store mode done; rerun with store_mode='load'.")
+        sys.exit(0)
+
+    def _sampler(plan, dataset, mixup, tag=None):
+        return ClipSampler(
+            plan,
+            cfg.clip_len,
+            get_spec(dataset).train_stride,
+            cfg.radi_displacement,
+            mixup,
+            decoder=decoder,
+            dataset_tag=tag,
+        )
+
+    if plans2 is not None:
+        # Joint 50/50 sampling with dataset tags (ref: dataset/frame.py:640-663)
+        train = JointSampler(
+            _sampler(plans["train"], cfg.dataset, cfg.mixup),
+            _sampler(plans2["train"], cfg.pretrain.dataset, cfg.mixup),
+        )
+        val = JointSampler(
+            _sampler(plans["val"], cfg.dataset, False),
+            _sampler(plans2["val"], cfg.pretrain.dataset, False),
+        )
+    else:
+        train = _sampler(plans["train"], cfg.dataset, cfg.mixup)
+        val = _sampler(plans["val"], cfg.dataset, False)
+    return train, val, labels_root
+
+
+def main(argv=None) -> None:
+    args = get_args(argv)
+    seed_everything(args.seed)
+
+    from tdeed_tpu.config import load_config
+
+    cfg = load_config(args.model, args.config_root, acc_grad_iter=args.acc_grad_iter)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tdeed_tpu.checkpoint import CheckpointManager
+    from tdeed_tpu.data.loader import BatchLoader
+    from tdeed_tpu.data.registry import get_spec, load_classes
+    from tdeed_tpu.infer.evaluate import evaluate
+    from tdeed_tpu.infer.windows import VideoWindows
+    from tdeed_tpu.models.tdeed import build_model
+    from tdeed_tpu.parallel.mesh import make_mesh, shard_batch
+    from tdeed_tpu.train.schedule import make_optimizer
+    from tdeed_tpu.train.state import TrainState
+    from tdeed_tpu.train.step import make_predict_step, make_train_step, make_val_step
+    from tdeed_tpu.utils.logging import MetricsLogger
+
+    spec = get_spec(cfg.dataset)
+    classes = load_classes(os.path.join(args.data_root, cfg.dataset, "class.txt"))
+    assert len(classes) == cfg.num_classes, (len(classes), cfg.num_classes)
+
+    two_heads = None
+    classes2 = None
+    if cfg.pretrain is not None:
+        classes2 = load_classes(
+            os.path.join(args.data_root, cfg.pretrain.dataset, "class.txt")
+        )
+        # (C1+1, C2+1) incl. background slots (ref: model/model.py:169-172)
+        two_heads = (cfg.num_classes + 1, cfg.pretrain.num_classes + 1)
+
+    train_sampler, val_sampler, labels_root = build_samplers(
+        cfg, args, classes, classes2
+    )
+
+    # --- model / optimizer / mesh --------------------------------------
+    n_devices = args.n_devices or jax.local_device_count()
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    model = build_model(cfg, two_heads=two_heads)
+
+    crop = cfg.crop_dim
+    rng = jax.random.PRNGKey(args.seed)
+    # init at eval-crop spatial size; shapes are polymorphic in H/W at trace
+    size = crop or 224
+    variables = model.init(
+        rng, jnp.zeros((1, cfg.clip_len, size, size, 3), jnp.float32), False
+    )
+
+    steps_per_epoch = cfg.dataset_len // cfg.batch_size
+    num_steps_per_epoch = steps_per_epoch * cfg.acc_grad_iter  # optim steps
+    tx = make_optimizer(
+        cfg.learning_rate,
+        warmup_steps=cfg.warm_up_epochs * steps_per_epoch,
+        cosine_steps=(cfg.num_epochs - cfg.warm_up_epochs) * steps_per_epoch,
+    )
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    pretrain_bg = cfg.pretrain.num_classes + 1 if cfg.pretrain else 0
+    train_step = jax.jit(
+        make_train_step(
+            model,
+            tx,
+            crop_dim=crop,
+            num_classes_bg=cfg.num_classes_bg,
+            mixup=cfg.mixup,
+            radi_displacement=cfg.radi_displacement,
+            acc_grad_iter=cfg.acc_grad_iter,
+            two_heads=two_heads,
+            pretrain_classes_bg=pretrain_bg,
+        ),
+        donate_argnums=(0,),
+    )
+    val_step = jax.jit(
+        make_val_step(
+            model,
+            crop_dim=crop,
+            num_classes_bg=cfg.num_classes_bg,
+            radi_displacement=cfg.radi_displacement,
+            two_heads=two_heads,
+            pretrain_classes_bg=pretrain_bg,
+        )
+    )
+    predict_step = jax.jit(
+        make_predict_step(
+            model,
+            crop_dim=crop,
+            radi_displacement=cfg.radi_displacement,
+            two_heads=two_heads,
+        ),
+        static_argnums=(3,),
+    )
+
+    def predict_fn(frames, hflip=False):
+        _, probs = predict_step(state.params, state.batch_stats, frames, hflip)
+        return probs
+
+    # --- data loaders ---------------------------------------------------
+    train_loader = BatchLoader(
+        train_sampler,
+        cfg.batch_size,
+        cfg.dataset_len,
+        num_workers=max(4, cfg.num_workers),
+        seed=args.seed,
+    )
+    val_loader = BatchLoader(
+        val_sampler,
+        cfg.batch_size,
+        cfg.dataset_len // 4,  # ref: dataset/datasets.py:49
+        num_workers=max(4, cfg.num_workers),
+        seed=args.seed + 100_000,
+    )
+
+    val_data_frames = None
+    if cfg.criterion == "map" and cfg.dataset != "soccernet":
+        val_data_frames = VideoWindows(
+            cfg.dataset,
+            os.path.join(args.data_root, cfg.dataset, "val.json"),
+            cfg.frame_dir,
+            cfg.clip_len,
+            overlap_len=0,
+            stride=spec.eval_stride,
+            labels_root=labels_root,
+        )
+
+    ckpt = CheckpointManager(cfg.save_dir or os.path.join("checkpoints", cfg.model))
+    logger = MetricsLogger(ckpt.save_dir, cfg, enable_wandb=not args.no_wandb)
+
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = ckpt.restore_last(state)
+        print(f"Resumed from epoch {start_epoch}")
+    best = ckpt.load_meta().get("best_criterion")
+    if best is None:
+        best = float("inf") if cfg.criterion == "loss" else 0.0
+
+    step_rng = jax.random.PRNGKey(args.seed + 7)
+
+    def run_train_epoch(epoch: int) -> float:
+        nonlocal state
+        total, n = 0.0, 0
+        for batch in train_loader.epoch(epoch):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch, step_rng)
+            total += float(metrics["loss"])
+            n += 1
+        return total / max(1, n)
+
+    def run_val_epoch(epoch: int) -> float:
+        total, n = 0.0, 0
+        for batch in val_loader.epoch(epoch):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            aux = val_step(state, batch)
+            total += float(aux["loss"])
+            n += 1
+        return total / max(1, n)
+
+    if not cfg.only_test or not os.path.exists(
+        os.path.join(ckpt.save_dir, "checkpoint_best")
+    ):
+        for epoch in range(start_epoch, cfg.num_epochs):
+            t0 = time.time()
+            train_loss = run_train_epoch(epoch)
+            t1 = time.time()
+            val_loss = run_val_epoch(epoch)
+            t2 = time.time()
+
+            val_map = None
+            is_best = False
+            if cfg.criterion == "loss":
+                is_best = val_loss < best
+                if is_best:
+                    best = val_loss
+            elif epoch >= cfg.start_val_epoch:  # ref: train_tdeed.py:182-199
+                if cfg.dataset == "soccernet":
+                    from tdeed_tpu.metrics.soccernet import val_map_sn
+
+                    val_map = val_map_sn(
+                        predict_fn, cfg, args.data_root, labels_root
+                    )
+                else:
+                    val_map = evaluate(
+                        predict_fn,
+                        val_data_frames,
+                        "VAL",
+                        classes,
+                        printed=False,
+                        test=False,
+                        augment=False,
+                        labels_root=labels_root,
+                    )
+                is_best = val_map > best
+                if is_best:
+                    best = val_map
+
+            record = {
+                "epoch": epoch,
+                "train": train_loss,
+                "val": val_loss,
+                "val_mAP": val_map,
+                "train_time": t1 - t0,
+                "val_time": t2 - t1,
+            }
+            logger.log_epoch(record)
+            print(
+                f"[epoch {epoch}] train {train_loss:.4f} val {val_loss:.4f}"
+                + (f" val_mAP {val_map:.4f}" if val_map is not None else "")
+                + (" *best*" if is_best else "")
+            )
+            ckpt.save_epoch(state, epoch, record, is_best, best)
+
+    # --- test ----------------------------------------------------------
+    restored = ckpt.restore_best()
+    state = state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"]
+    )
+
+    for split in EVAL_SPLITS:
+        split_path = os.path.join(args.data_root, cfg.dataset, f"{split}.json")
+        if not os.path.exists(split_path):
+            continue
+        data = VideoWindows(
+            cfg.dataset,
+            split_path,
+            cfg.frame_dir,
+            cfg.clip_len,
+            overlap_len=spec.eval_overlap_len(cfg.clip_len),
+            stride=spec.eval_stride,
+            labels_root=labels_root,
+        )
+        pred_file = os.path.join(ckpt.save_dir, f"pred-{split}")
+        maps, tols = evaluate(
+            predict_fn,
+            data,
+            split.upper(),
+            classes,
+            save_pred=pred_file,
+            printed=True,
+            test=True,
+            augment=spec.hflip_tta,
+            labels_root=labels_root,
+        )
+        if maps is not None:
+            logger.log_test(split, maps, tols)
+
+        if cfg.dataset == "soccernet":
+            from tdeed_tpu.metrics.soccernet import evaluate_sn_official
+
+            evaluate_sn_official(labels_root, os.path.join(ckpt.save_dir, "preds"), split)
+        elif cfg.dataset == "soccernetball":
+            from tdeed_tpu.metrics.soccernet import evaluate_snb
+
+            evaluate_snb(labels_root, os.path.join(ckpt.save_dir, "preds"), split)
+    logger.finish()
+    print("CORRECTLY FINISHED TRAINING AND INFERENCE")
+
+
+if __name__ == "__main__":
+    main()

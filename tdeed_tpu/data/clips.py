@@ -141,7 +141,7 @@ def plan_clips(
     """
     spec = get_spec(dataset)
     videos = load_json(label_file)
-    hop = int((1 - overlap) * clip_len) if overlap != 1 else 1
+    hop = max(1, int((1 - overlap) * clip_len)) if overlap != 1 else 1
     assert 0 <= overlap <= 1
 
     plan = ClipPlan(frame_paths=[], labels=[], labels_d=[])

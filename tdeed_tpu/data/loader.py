@@ -130,21 +130,20 @@ class BatchLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for b in range(self.num_batches):
-                    if stop.is_set():
-                        break
-                    rngs = [
-                        random.Random((base_seed, b, i))
-                        for i in range(self.batch_size)
-                    ]
-                    futs = [pool.submit(self.sampler.sample, r) for r in rngs]
-                    try:
-                        batch = _collate([f.result() for f in futs])
-                    except Exception as e:  # propagate to consumer
-                        q.put(e)
-                        return
-                    q.put(batch)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for b in range(self.num_batches):
+                        if stop.is_set():
+                            break
+                        rngs = [
+                            random.Random(base_seed * 1_000_003 + b * 1009 + i)
+                            for i in range(self.batch_size)
+                        ]
+                        futs = [pool.submit(self.sampler.sample, r) for r in rngs]
+                        q.put(_collate([f.result() for f in futs]))
+            except Exception as e:  # propagate to consumer
+                q.put(e)
+                return
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

@@ -1,0 +1,72 @@
+"""Orbax checkpoint round-trip + best/last manager semantics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdeed_tpu.checkpoint import CheckpointManager, restore_state, save_state
+from tdeed_tpu.train.schedule import make_optimizer
+from tdeed_tpu.train.state import TrainState
+
+
+@pytest.fixture
+def state():
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+    stats = {"bn": {"mean": jnp.zeros((3,)), "var": jnp.ones((3,))}}
+    tx = make_optimizer(1e-3, 10, 100)
+    return tx, TrainState.create(params, stats, tx)
+
+
+def _tree_equal(a, b):
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a,
+        b,
+    )
+
+
+def test_state_roundtrip(tmp_path, state):
+    tx, st = state
+    st = st.replace(step=st.step + 5)
+    path = str(tmp_path / "ckpt")
+    save_state(path, st)
+    back = restore_state(path, st)
+    assert int(back.step) == 5
+    _tree_equal(back.params, st.params)
+    _tree_equal(back.opt_state, st.opt_state)
+
+
+def test_manager_best_last_and_resume(tmp_path, state):
+    tx, st = state
+    mgr = CheckpointManager(str(tmp_path / "run"))
+
+    st1 = st.replace(step=st.step + 1)
+    mgr.save_epoch(st1, 0, {"epoch": 0, "val": 2.0}, is_best=True, best_criterion=2.0)
+    st2 = st1.replace(
+        step=st1.step + 1,
+        params={"w": st1.params["w"] * 2},
+    )
+    mgr.save_epoch(st2, 1, {"epoch": 1, "val": 3.0}, is_best=False, best_criterion=2.0)
+
+    # best holds epoch-0 weights; last holds epoch-1
+    best = mgr.restore_best()
+    _tree_equal(best["params"], st1.params)
+    restored, next_epoch = mgr.restore_last(st)
+    assert next_epoch == 2
+    _tree_equal(restored.params, st2.params)
+
+    meta = mgr.load_meta()
+    assert meta["best_criterion"] == 2.0
+    assert len(meta["history"]) == 2
+    assert os.path.exists(os.path.join(mgr.save_dir, "loss.json"))
+
+
+def test_restore_last_fresh_run(tmp_path, state):
+    _, st = state
+    mgr = CheckpointManager(str(tmp_path / "empty"))
+    restored, next_epoch = mgr.restore_last(st)
+    assert next_epoch == 0
+    assert restored is st

@@ -1,0 +1,120 @@
+"""Store/load clip-planning + sampler/loader tests on a synthetic frame tree
+(ref behaviours: dataset/frame.py:97-253, dataset/datasets.py:19-96)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_finediving_fixture
+
+from tdeed_tpu.data.clips import (
+    load_plan,
+    plan_clips,
+    rasterize_labels,
+    store_plan,
+)
+from tdeed_tpu.data.frames import get_decoder, load_clip
+from tdeed_tpu.data.loader import BatchLoader, ClipSampler, JointSampler
+from tdeed_tpu.data.registry import load_classes
+
+CLIP_LEN = 8
+RADI = 1
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("finediving")
+    return make_finediving_fixture(str(root), num_videos=2, num_frames=24)
+
+
+@pytest.fixture(scope="module")
+def plan(fixture):
+    classes = load_classes(
+        os.path.join(fixture["data_root"], "finediving", "class.txt")
+    )
+    return plan_clips(
+        "finediving",
+        os.path.join(fixture["data_root"], "finediving", "train.json"),
+        fixture["frame_dir"],
+        classes,
+        CLIP_LEN,
+        stride=1,
+        overlap=0.5,
+        radi_displacement=RADI,
+    )
+
+
+def test_plan_windows_cover_video(plan):
+    # hop = (1-0.5)*8 = 4; starts from -5 (pad_len 5) — every video yields
+    # multiple clips and every clip record has the reference list format.
+    assert len(plan) > 4
+    for rec in plan.frame_paths:
+        base, found_start, pad_start, pad_end, ndigits, length = rec
+        assert length == CLIP_LEN
+        assert ndigits == 4  # zero-padded synthetic names
+        assert pad_start + pad_end < CLIP_LEN
+
+
+def test_labels_dilated_and_displacement(plan):
+    # Each event dilates to ±RADI rows with matching signed displacements.
+    found = False
+    for labels, labels_d in zip(plan.labels, plan.labels_d):
+        for rec, rec_d in zip(labels, labels_d):
+            assert rec["label_idx"] == rec_d["label_idx"]
+            assert -RADI <= rec_d["displ"] <= RADI
+            found = found or rec_d["displ"] != 0
+    assert found, "expected at least one nonzero displacement target"
+
+
+def test_store_load_roundtrip(plan, fixture):
+    store_plan(plan, fixture["store_dir"], CLIP_LEN, RADI, "train")
+    loaded = load_plan(fixture["store_dir"], CLIP_LEN, RADI, "train")
+    assert loaded.frame_paths == plan.frame_paths
+    assert loaded.labels == plan.labels
+    assert loaded.labels_d == plan.labels_d
+
+
+def test_load_clip_shapes_and_padding(plan):
+    decoder = get_decoder()
+    # First clip starts at -pad_len -> pad_start > 0 -> zero rows up front.
+    rec = plan.frame_paths[0]
+    arr = load_clip(rec, stride=1, decoder=decoder)
+    assert arr.shape[0] == CLIP_LEN
+    assert arr.dtype == np.uint8
+    if rec[2] > 0:
+        assert np.all(arr[: rec[2]] == 0)
+        assert arr[rec[2]].sum() > 0
+
+
+def test_rasterize_labels(plan):
+    labels, labels_d = rasterize_labels(
+        plan.labels[0], plan.labels_d[0], CLIP_LEN
+    )
+    assert labels.shape == (CLIP_LEN,)
+    assert labels_d.shape == (CLIP_LEN,)
+    assert np.all((labels >= 0) & (labels <= 4))
+
+
+def test_sampler_and_loader_batches(plan):
+    sampler = ClipSampler(plan, CLIP_LEN, 1, RADI, mixup=True)
+    loader = BatchLoader(sampler, batch_size=2, dataset_len=8, num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["frame"].shape[:2] == (2, CLIP_LEN)
+    assert b["frame"].shape[-1] == 3
+    assert set(b) >= {"frame", "label", "labelD", "frame2", "label2", "labelD2"}
+    # Deterministic per (seed, epoch, batch, slot):
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(b["frame"], again[0]["frame"])
+
+
+def test_joint_sampler_tags(plan):
+    import random
+
+    s1 = ClipSampler(plan, CLIP_LEN, 1, RADI, mixup=False)
+    s2 = ClipSampler(plan, CLIP_LEN, 1, RADI, mixup=False)
+    joint = JointSampler(s1, s2)
+    tags = {int(joint.sample(random.Random(i))["dataset"]) for i in range(20)}
+    assert tags == {1, 2}
