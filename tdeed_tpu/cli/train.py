@@ -355,10 +355,15 @@ def main(argv=None) -> None:
             ckpt.save_epoch(state, epoch, record, is_best, best)
 
     # --- test ----------------------------------------------------------
-    restored = ckpt.restore_best()
-    state = state.replace(
-        params=restored["params"], batch_stats=restored["batch_stats"]
-    )
+    if os.path.exists(os.path.join(ckpt.save_dir, "checkpoint_best")):
+        restored = ckpt.restore_best()
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+    else:
+        # No epoch ever improved the criterion (e.g. num_epochs <
+        # start_val_epoch): evaluate the final state instead.
+        print("warning: no best checkpoint; evaluating final state")
 
     for split in EVAL_SPLITS:
         split_path = os.path.join(args.data_root, cfg.dataset, f"{split}.json")

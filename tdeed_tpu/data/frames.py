@@ -66,6 +66,22 @@ def get_decoder(kind: str = "auto") -> Callable[[str], np.ndarray]:
     return _decode_pil
 
 
+def _clip_frame_paths(paths: list, stride: int, pad: bool) -> List[Optional[str]]:
+    """Expand a stored clip record into per-slot file paths (None = pad)."""
+    base_path, start, pad_start, pad_end, ndigits, length = paths
+    n_real = length - pad_start - pad_end
+    out: List[Optional[str]] = [None] * pad_start
+    for j in range(n_real):
+        idx = start + j * stride
+        if ndigits > 0:
+            out.append(os.path.join(base_path, str(idx).zfill(ndigits) + ".jpg"))
+        else:
+            out.append(os.path.join(base_path, f"frame{idx}.jpg"))
+    if pad:
+        out.extend([None] * pad_end)
+    return out
+
+
 def load_clip(
     paths: list,
     stride: int,
@@ -77,19 +93,32 @@ def load_clip(
     paths = [base_path, found_start, pad_start, pad_end, ndigits, length]
     (the reference pickle format; ref: dataset/frame.py:355-382). Start is
     always zero-padded; end only when pad=True.
+
+    Fast path: when the first-party C++ batch decoder is available, the whole
+    clip decodes with C++ threads into one contiguous buffer (no per-frame
+    Python overhead).
     """
-    base_path, start, pad_start, pad_end, ndigits, length = paths
-    n_real = length - pad_start - pad_end
+    slot_paths = _clip_frame_paths(paths, stride, pad)
+    first_real = next((p for p in slot_paths if p is not None), None)
+    assert first_real is not None, paths
+
+    try:
+        from tdeed_tpu.native import jpeg as native_jpeg
+
+        if native_jpeg.available():
+            h, w = native_jpeg.probe(first_real)
+            arr, _ = native_jpeg.decode_batch(slot_paths, h, w)
+            return arr
+    except Exception:
+        pass
+
     frames: List[np.ndarray] = []
-    for j in range(n_real):
-        idx = start + j * stride
-        if ndigits > 0:
-            fp = os.path.join(base_path, str(idx).zfill(ndigits) + ".jpg")
-        else:
-            fp = os.path.join(base_path, f"frame{idx}.jpg")
-        frames.append(decoder(fp))
+    for p in slot_paths:
+        if p is not None:
+            frames.append(decoder(p))
     arr = np.stack(frames, axis=0)
-    n_end = pad_end if pad else 0
+    pad_start = paths[2]
+    n_end = len(slot_paths) - pad_start - len(frames)
     if pad_start > 0 or n_end > 0:
         arr = np.pad(arr, ((pad_start, n_end), (0, 0), (0, 0), (0, 0)))
     return arr

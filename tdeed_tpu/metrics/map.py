@@ -88,14 +88,61 @@ def compute_average_precision(
     return sum(interp) / total
 
 
+def plot_pr_curves(
+    truth_by_label: Dict,
+    pred: List[dict],
+    tolerance: int,
+    out_path: str,
+) -> None:
+    """Optional per-class precision-recall plot (ref: util/score.py:147-157).
+
+    Requires matplotlib; silently skips when unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, ax = plt.subplots()
+    for label in sorted(truth_by_label):
+        flat = get_predictions(pred, label=label)
+        total = sum(len(v) for v in truth_by_label[label].values())
+        recalled = set()
+        pts = []
+        for i, (video, frame, score) in enumerate(flat, 1):
+            gt_closest = None
+            for gt_frame in truth_by_label[label].get(video, []):
+                if (video, gt_frame) in recalled:
+                    continue
+                if gt_closest is None or abs(frame - gt_closest) > abs(frame - gt_frame):
+                    gt_closest = gt_frame
+            if gt_closest is not None and abs(frame - gt_closest) <= tolerance:
+                recalled.add((video, gt_closest))
+            if total:
+                pts.append((len(recalled) / total, len(recalled) / i))
+        if pts:
+            r, p = zip(*pts)
+            ax.plot(r, p, label=label)
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_title(f"PR @ tolerance {tolerance}")
+    ax.legend(fontsize=6)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def compute_maps(
     truth: List[dict],
     pred: List[dict],
     tolerances: Sequence[int] = (1, 2, 4),
     printed: bool = False,
     labels_root: Optional[str] = None,
+    plot_pr: Optional[str] = None,
 ) -> Tuple[List[float], List[int]]:
-    """Per-tolerance mAP over classes (ref: util/score.py:98-161)."""
+    """Per-tolerance mAP over classes (ref: util/score.py:98-161).
+
+    plot_pr: when set, writes PR-curve PNGs ``<plot_pr>_tol{t}.png``."""
     assert {v["video"] for v in truth} == {v["video"] for v in pred}, (
         "Video set mismatch!"
     )
@@ -113,6 +160,8 @@ def compute_maps(
             class_aps.append((label, ap))
         maps.append(float(np.mean([a for _, a in class_aps])))
         class_aps_per_tol.append(class_aps)
+        if plot_pr:
+            plot_pr_curves(truth_by_label, pred, tol, f"{plot_pr}_tol{tol}.png")
 
     if printed:
         names = sorted(truth_by_label.keys()) + ["mAP"]

@@ -1,0 +1,73 @@
+"""Profiling hooks: jax.profiler traces + per-step wall-clock timers.
+
+The reference's only observability is epoch wall-clock prints
+(ref: train_tdeed.py:165-213). Here: (a) ``trace(logdir)`` wraps a region in
+a jax.profiler trace viewable in TensorBoard/Perfetto, (b) ``StepTimer``
+aggregates per-step latencies with jitter stats, (c) ``annotate`` names a
+region inside a trace (TraceAnnotation).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str, *, host_tracer_level: int = 2):
+    """Capture a jax.profiler trace of the enclosed region."""
+    jax.profiler.start_trace(logdir, host_tracer_level=host_tracer_level)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region inside a device trace."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Wall-clock step timer with percentile summary.
+
+    Use ``with timer.step(): run()`` around each training step; the result
+    must be blocked on inside the region for honest numbers.
+    """
+
+    def __init__(self):
+        self.samples: List[float] = []
+
+    @contextlib.contextmanager
+    def step(self):
+        t0 = time.perf_counter()
+        yield
+        self.samples.append(time.perf_counter() - t0)
+
+    def summary(self, skip_warmup: int = 2) -> Dict[str, float]:
+        s = sorted(self.samples[skip_warmup:]) or [0.0]
+        n = len(s)
+        return {
+            "steps": n,
+            "mean_s": sum(s) / n,
+            "p50_s": s[n // 2],
+            "p90_s": s[int(n * 0.9)],
+            "min_s": s[0],
+            "max_s": s[-1],
+        }
+
+
+def time_fn(fn, *args, warmup: int = 2, iters: int = 10, **kwargs) -> float:
+    """Mean seconds/call of a jitted fn (blocks on the result)."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters

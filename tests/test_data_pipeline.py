@@ -118,3 +118,26 @@ def test_joint_sampler_tags(plan):
     joint = JointSampler(s1, s2)
     tags = {int(joint.sample(random.Random(i))["dataset"]) for i in range(20)}
     assert tags == {1, 2}
+
+
+def test_native_decoder_parity(plan):
+    """C++ batch decode must match the PIL per-frame path bit-for-bit."""
+    from tdeed_tpu.data.frames import _decode_pil
+    from tdeed_tpu.native import jpeg as native_jpeg
+
+    if not native_jpeg.available():
+        import pytest
+
+        pytest.skip("native decoder not built")
+    rec = plan.frame_paths[1]
+    via_native = load_clip(rec, 1, decoder=None)  # fast path probes itself
+    # Compare against per-frame PIL decode of the same slots
+    from tdeed_tpu.data.frames import _clip_frame_paths
+    import numpy as np
+
+    slots = _clip_frame_paths(rec, 1, pad=True)
+    for i, p in enumerate(slots):
+        if p is None:
+            assert via_native[i].sum() == 0
+        else:
+            np.testing.assert_array_equal(via_native[i], _decode_pil(p))
