@@ -1,0 +1,131 @@
+"""Data-parallel equivalence: the jitted train step must compute the same
+numbers on 1 device and on an 8-way batch-sharded mesh (GSPMD inserts the
+gradient/batch-stat all-reduces; BatchNorm stats are global-batch means).
+
+Uses a miniature stand-in model with the same interface as TDEED (logits +
+displ heads, BatchNorm batch_stats, dropout rng) so the full step logic
+compiles in seconds on CPU.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from tdeed_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from tdeed_tpu.train.schedule import make_optimizer
+from tdeed_tpu.train.state import TrainState
+from tdeed_tpu.train.step import make_train_step, make_val_step
+
+B, T, S, C_BG = 8, 4, 8, 3
+
+
+class MiniModel(nn.Module):
+    """Tiny conv + BN + heads with TDEED's interface."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames, train: bool = False):
+        b, t, h, w, c = frames.shape
+        x = frames.reshape(b * t, h, w, c)
+        x = nn.Conv(8, (3, 3), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        feat = jnp.mean(x, axis=(1, 2)).reshape(b, t, -1)
+        feat = nn.Dropout(0.5, deterministic=not train)(feat)
+        return {
+            "logits": nn.Dense(C_BG)(feat).astype(jnp.float32),
+            "displ": nn.Dense(1)(feat)[..., 0].astype(jnp.float32),
+        }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MiniModel()
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, T, S, S, 3)), False)
+    tx = make_optimizer(1e-3, 10, 100)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    r = np.random.default_rng(0)
+    batch = {
+        "frame": r.integers(0, 256, (B, T, S, S, 3)).astype(np.uint8),
+        "label": r.integers(0, C_BG, (B, T)).astype(np.int32),
+        "labelD": r.integers(-1, 2, (B, T)).astype(np.float32),
+        "frame2": r.integers(0, 256, (B, T, S, S, 3)).astype(np.uint8),
+        "label2": r.integers(0, C_BG, (B, T)).astype(np.int32),
+        "labelD2": r.integers(-1, 2, (B, T)).astype(np.float32),
+    }
+    step = jax.jit(
+        make_train_step(
+            model, tx, crop_dim=None, num_classes_bg=C_BG, mixup=True,
+            radi_displacement=1, acc_grad_iter=1,
+        )
+    )
+    return model, state, batch, step
+
+
+def test_dp_matches_single_device(setup):
+    model, state, batch, step = setup
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    key = jax.random.PRNGKey(7)
+
+    s1, m1 = step(state, jax.tree.map(jnp.asarray, batch), key)
+
+    mesh = make_mesh(8)
+    s8, m8 = step(state, shard_batch(batch, mesh), key)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=2e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        jax.device_get(s1.params),
+        jax.device_get(s8.params),
+    )
+    # BN batch stats must be *global* means, not per-shard
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        jax.device_get(s1.batch_stats),
+        jax.device_get(s8.batch_stats),
+    )
+
+
+def test_grad_accumulation_matches_full_batch(setup):
+    """acc_grad_iter=2 mean-gradient must track the full-batch step closely
+    (not exactly: BN stats thread through microbatches, ref behaviour)."""
+    model, state, batch, _ = setup
+    tx = make_optimizer(1e-3, 10, 100)
+    key = jax.random.PRNGKey(7)
+
+    full = jax.jit(make_train_step(
+        model, tx, crop_dim=None, num_classes_bg=C_BG, mixup=False,
+        radi_displacement=1, acc_grad_iter=1,
+    ))
+    acc = jax.jit(make_train_step(
+        model, tx, crop_dim=None, num_classes_bg=C_BG, mixup=False,
+        radi_displacement=1, acc_grad_iter=2,
+    ))
+    b = {k: jnp.asarray(v) for k, v in batch.items() if "2" not in k}
+    _, mf = full(state, b, key)
+    _, ma = acc(state, b, key)
+    assert np.isfinite(float(mf["loss"])) and np.isfinite(float(ma["loss"]))
+
+
+def test_val_step_runs_sharded(setup):
+    model, state, batch, _ = setup
+    val = jax.jit(make_val_step(
+        model, crop_dim=None, num_classes_bg=C_BG, radi_displacement=1,
+    ))
+    mesh = make_mesh(8)
+    b = {k: v for k, v in batch.items() if "2" not in k}
+    aux = val(state, shard_batch(b, mesh))
+    assert np.isfinite(float(aux["loss"]))
+    assert aux["logits"].shape == (B, T, C_BG)
