@@ -34,6 +34,10 @@ BENCH_STEPS = 10
 
 
 def main() -> None:
+    from tdeed_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from tdeed_tpu.config import TDEEDConfig
     from tdeed_tpu.models.tdeed import build_model
     from tdeed_tpu.parallel.mesh import make_mesh, shard_batch
@@ -57,7 +61,7 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(0)
     frames0 = jnp.zeros((1, CLIP_LEN, CROP, CROP, 3), jnp.float32)
-    variables = model.init(rng, frames0, False)
+    variables = jax.jit(model.init, static_argnums=(2,))(rng, frames0, False)
     tx = make_optimizer(8e-4, warmup_steps=100, cosine_steps=10_000)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
 

@@ -211,6 +211,7 @@ def main(argv=None) -> None:
             acc_grad_iter=cfg.acc_grad_iter,
             two_heads=two_heads,
             pretrain_classes_bg=pretrain_bg,
+            pallas_augment=cfg.pallas_augment,
         ),
         donate_argnums=(0,),
     )

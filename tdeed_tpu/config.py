@@ -86,6 +86,8 @@ class TDEEDConfig:
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     data_axis: str = "data"  # mesh axis name for data parallelism
     checkpoint_backbone: bool = False  # jax.checkpoint the backbone (remat)
+    pallas_shift: Optional[bool] = None  # fused GSF Pallas kernel (None=auto)
+    pallas_augment: Optional[bool] = None  # fused photometric kernel (None=auto)
     decoder: str = "auto"  # 'auto' | 'native' | 'pil' | 'cv2'
 
     def __post_init__(self) -> None:

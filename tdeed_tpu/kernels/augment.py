@@ -1,0 +1,257 @@
+"""Fused photometric-augmentation Pallas kernel.
+
+The XLA path (tdeed_tpu/train/augment.py) computes every augmentation for
+every clip and selects with `where` — branchless but ~10 full passes over a
+(B, T, H, W, 3) fp32 tensor (hsv round-trip, 4 photometric ops, separable
+blur, standardize). Measured at ~40 ms of a 151 ms train step (26%).
+
+This kernel performs the whole chain in ONE pass: each grid program loads
+one uint8 frame into VMEM, applies /255, gated hue/saturation/brightness/
+contrast, gated 5-tap separable Gaussian blur (reflect padding), and
+ImageNet standardization, then writes bf16 — one HBM read (u8) + one write
+(bf16) total. Augmentation is input preprocessing, so no VJP is needed.
+
+Layout: planar (3, H, W) per frame — W rides the 128-lane dimension (224 →
+2 lanes tiles), channels are 3 sublane planes so channel-wise math (luma
+dot, per-channel standardize) is plain sublane indexing. The (B, T, H, W, 3)
+<-> planar transposes around the kernel are cheap u8/bf16 passes.
+
+Per-clip parameters (gates, factors, blur taps, seeded exactly like the XLA
+path's distributions — ref: model/model.py:77-84) arrive as a packed (B, 16)
+fp32 array read from SMEM.
+
+Parity: hue/sat/brightness/contrast math identical to the XLA path;
+clamping to [0,1] after each op; blur uses true reflect padding built from
+static edge-row concats.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# packed param layout (per clip):
+#  0: hue gate        1: hue shift
+#  2: sat gate        3: sat factor
+#  4: bright gate     5: bright factor
+#  6: contrast gate   7: contrast factor
+#  8: blur gate       9..13: blur taps k0..k4
+# 14: (unused: flip is applied outside on uint8)  15: pad
+N_PARAMS = 16
+
+
+def sample_params(key: jax.Array, batch: int) -> jax.Array:
+    """Draw per-clip augmentation parameters, same distributions as the XLA
+    path (gates p=.25; hue U(-.2,.2); sat/bri/con U(.7,1.2); blur sigma
+    U(.1,2) -> normalized 5-tap kernel). Returns (B, 16) fp32."""
+    ks = jax.random.split(key, 10)
+    u = lambda i, lo, hi: jax.random.uniform(
+        ks[i], (batch,), minval=lo, maxval=hi
+    )
+    gate = lambda i: (jax.random.uniform(ks[i], (batch,)) < 0.25).astype(
+        jnp.float32
+    )
+    sigma = u(9, 0.1, 2.0)
+    offs = jnp.arange(-2, 3, dtype=jnp.float32)
+    taps = jnp.exp(-0.5 * jnp.square(offs[None, :] / sigma[:, None]))
+    taps = taps / jnp.sum(taps, axis=1, keepdims=True)  # (B, 5)
+    params = jnp.stack(
+        [
+            gate(0), u(5, -0.2, 0.2),
+            gate(1), u(6, 0.7, 1.2),
+            gate(2), u(7, 0.7, 1.2),
+            gate(3), u(8, 0.7, 1.2),
+            gate(4),
+        ],
+        axis=1,
+    )
+    pad = jnp.zeros((batch, 2), jnp.float32)
+    return jnp.concatenate([params, taps, pad], axis=1)  # (B, 16)
+
+
+def _shift_dim(a: jax.Array, off: int, axis: int) -> jax.Array:
+    """y[i] = a[i + off] along axis, zero-filled (roll + iota mask; Mosaic
+    lowers rolls natively, concats on odd offsets it cannot tile)."""
+    if off == 0:
+        return a
+    rolled = pltpu.roll(a, (-off) % a.shape[axis], axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    n = a.shape[axis]
+    mask = idx < n - off if off > 0 else idx >= -off
+    return jnp.where(mask, rolled, jnp.zeros_like(a))
+
+
+def _row_mask(shape, row: int, axis: int):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, axis) == row
+
+
+def _blur1d_reflect(x: jax.Array, taps, axis: int) -> jax.Array:
+    """5-tap blur along axis with width-2 reflect padding, concat-free.
+
+    Base pass uses zero-padded shifts; the four border rows then get the
+    reflect contributions added explicitly (reflect pad of [x0..] is
+    [x2, x1 | x0 ... | x_{n-2}, x_{n-3}])."""
+    n = x.shape[axis]
+    y = sum(taps[j] * _shift_dim(x, j - 2, axis) for j in range(5))
+    sh = lambda o: _shift_dim(x, o, axis)
+    m = lambda r: _row_mask(x.shape, r, axis)
+    zero = jnp.zeros_like(x)
+    y = y + jnp.where(m(0), taps[0] * sh(2) + taps[1] * sh(1), zero)
+    y = y + jnp.where(m(1), taps[0] * x, zero)
+    y = y + jnp.where(m(n - 1), taps[4] * sh(-2) + taps[3] * sh(-1), zero)
+    y = y + jnp.where(m(n - 2), taps[4] * x, zero)
+    return y
+
+
+def _kernel(p_ref, x_ref, out_ref):
+    # x_ref: (1, 1, 3, H, W) bf16 holding exact 0..255 integers (Mosaic has
+    # no uint8->float cast; the u8->bf16 conversion is a cheap XLA pass);
+    # p_ref: (B, N_PARAMS) SMEM fp32 (full array — SMEM blocks must cover
+    # whole dims), row selected by program id.
+    x = x_ref[0, 0].astype(jnp.float32) / 255.0  # (3, H, W)
+    r, g, b = x[0], x[1], x[2]
+    clip_idx = pl.program_id(0)
+
+    def p(i):
+        return p_ref[clip_idx, i]
+
+    # --- hue (gated): rgb->hsv, shift h, hsv->rgb ----------------------
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    delta = maxc - minc
+    safe = jnp.where(delta > 0, delta, 1.0)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta > 0, h, 0.0)
+    h = (h / 6.0) % 1.0
+    s = jnp.where(maxc > 0, delta / jnp.where(maxc > 0, maxc, 1.0), 0.0)
+    v = maxc
+
+    h = (h + p(1)) % 1.0
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    pp = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i6 = i.astype(jnp.int32) % 6
+
+    def sel(c0, c1, c2, c3, c4, c5):
+        # nested where instead of jnp.select: select_n lowers through an
+        # argmax helper Mosaic only implements for f32
+        out = c5
+        for idx, cv in ((4, c4), (3, c3), (2, c2), (1, c1), (0, c0)):
+            out = jnp.where(i6 == idx, cv, out)
+        return out
+
+    hr = sel(v, q, pp, pp, t, v)
+    hg = sel(t, v, v, q, pp, pp)
+    hb = sel(pp, pp, t, v, v, q)
+    use_hue = p(0) > 0.5
+    r = jnp.where(use_hue, hr, r)
+    g = jnp.where(use_hue, hg, g)
+    b = jnp.where(use_hue, hb, b)
+
+    # --- saturation / brightness / contrast (gated, in XLA-path order) --
+    luma_w = (0.299, 0.587, 0.114)
+
+    def gray():
+        return luma_w[0] * r + luma_w[1] * g + luma_w[2] * b
+
+    sat = jnp.where(p(2) > 0.5, p(3), 1.0)
+    gy = gray()
+    r = jnp.clip(sat * r + (1.0 - sat) * gy, 0.0, 1.0)
+    g = jnp.clip(sat * g + (1.0 - sat) * gy, 0.0, 1.0)
+    b = jnp.clip(sat * b + (1.0 - sat) * gy, 0.0, 1.0)
+
+    bri = jnp.where(p(4) > 0.5, p(5), 1.0)
+    r = jnp.clip(r * bri, 0.0, 1.0)
+    g = jnp.clip(g * bri, 0.0, 1.0)
+    b = jnp.clip(b * bri, 0.0, 1.0)
+
+    con = jnp.where(p(6) > 0.5, p(7), 1.0)
+    mean_gray = jnp.mean(gray())
+    r = jnp.clip(con * r + (1.0 - con) * mean_gray, 0.0, 1.0)
+    g = jnp.clip(con * g + (1.0 - con) * mean_gray, 0.0, 1.0)
+    b = jnp.clip(con * b + (1.0 - con) * mean_gray, 0.0, 1.0)
+
+    # --- gated separable 5-tap blur with reflect padding ----------------
+    use_blur = p(8) > 0.5
+    taps = [p(9), p(10), p(11), p(12), p(13)]
+
+    def blur(c):
+        return _blur1d_reflect(_blur1d_reflect(c, taps, 0), taps, 1)
+
+    r = jnp.where(use_blur, blur(r), r)
+    g = jnp.where(use_blur, blur(g), g)
+    b = jnp.where(use_blur, blur(b), b)
+
+    # --- ImageNet standardize ------------------------------------------
+    mean = (0.485, 0.456, 0.406)  # == augment.IMAGENET_MEAN
+    std = (0.229, 0.224, 0.225)
+    out = jnp.stack(
+        [(r - mean[0]) / std[0], (g - mean[1]) / std[1], (b - mean[2]) / std[2]],
+        axis=0,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def photometric_planar(
+    frames_planar: jax.Array,  # (B, T, 3, H, W) bf16 0..255 (cropped, flipped)
+    params: jax.Array,         # (B, N_PARAMS) fp32 from sample_params
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused /255 + photometric + standardize. Returns (B, T, 3, H, W) bf16."""
+    frames_planar = frames_planar.astype(jnp.bfloat16)
+    bsz, t, c, h, w = frames_planar.shape
+    assert c == 3
+    return pl.pallas_call(
+        _kernel,
+        grid=(bsz, t),
+        in_specs=[
+            pl.BlockSpec(
+                (bsz, N_PARAMS), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 3, h, w), lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 3, h, w), lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, 3, h, w), jnp.bfloat16),
+        interpret=interpret,
+    )(params, frames_planar)
+
+
+def train_preprocess_pallas(
+    frames: jax.Array, key: jax.Array, crop_dim, *, interpret: bool = False
+) -> jax.Array:
+    """Drop-in replacement for augment.train_preprocess using the fused
+    kernel. frames: (B, T, H, W, 3) float-or-uint8 0..255. Returns
+    standardized bf16 (B, T, crop, crop, 3)."""
+    from tdeed_tpu.train.augment import random_crop_batch
+
+    bsz = frames.shape[0]
+    kc, kf, kp = jax.random.split(key, 3)
+
+    x = random_crop_batch(frames, crop_dim, kc)
+    # per-clip horizontal flip (cheap XLA pass, keeps the kernel free of
+    # lane reversals); bf16 carries 0..255 exactly
+    flip = jax.random.uniform(kf, (bsz, 1, 1, 1, 1)) < 0.5
+    x = jnp.where(flip, x[:, :, :, ::-1, :], x)
+    planar = jnp.transpose(x, (0, 1, 4, 2, 3)).astype(jnp.bfloat16)
+    params = sample_params(kp, bsz)
+    out = photometric_planar(planar, params, interpret=interpret)
+    return jnp.transpose(out, (0, 1, 3, 4, 2))  # (B, T, H, W, 3) bf16

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tdeed_tpu.models.common import TorchConv
 from tdeed_tpu.ops.temporal import lshift_zero, rshift_zero
 
 
@@ -91,13 +90,49 @@ class GSM(nn.Module):
         return _interleave_halves(y1, y2)
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameters with torch-default init, in the same tree
+    position nn.Conv would use (<parent>/conv/{kernel, bias})."""
+
+    shape: tuple
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        from tdeed_tpu.models.common import torch_bias_init, torch_kernel_init
+
+        class _Inner(nn.Module):
+            shape: tuple
+            fan_in: int
+
+            @nn.compact
+            def __call__(self):
+                k = self.param("kernel", torch_kernel_init, self.shape)
+                b = self.param(
+                    "bias", torch_bias_init(self.fan_in), (self.shape[-1],)
+                )
+                return k, b
+
+        return _Inner(self.shape, self.fan_in, name="conv")()
+
+
 class GSF(nn.Module):
-    """Gate-Shift-Fuse (ref: model/impl/gsf.py:9-93) — the shipped-config variant."""
+    """Gate-Shift-Fuse (ref: model/impl/gsf.py:9-93) — the shipped-config
+    variant.
+
+    Two compute paths over the same parameters (kernels/gated_shift.py):
+      * XLA:    functional ``gsf_core`` composition
+      * Pallas: ``gsf_fused`` single-pass kernel (use_pallas=True; forward
+                fused, backward via the reference VJP)
+    """
 
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from tdeed_tpu.kernels.gated_shift import gsf_core, gsf_fused
+
         c = x.shape[-1]
         assert c % 4 == 0, c
         xn = nn.BatchNorm(
@@ -108,42 +143,30 @@ class GSF(nn.Module):
             name="bn",
         )(x.astype(jnp.float32))
         xn = nn.relu(xn).astype(x.dtype)
+
         # Default-init (not zero) gate conv, unlike GSM (ref: gsf.py:17-18).
-        gate = TorchConv(
-            features=2,
-            kernel_size=(3, 3, 3),
-            feature_group_count=2,
-            padding="SAME",
-            dtype=self.dtype,
-            name="gate_conv",
-        )(xn)
-        gate = jnp.tanh(gate)
-        g1, g2 = gate[..., 0:1], gate[..., 1:2]
+        gate_w, gate_b = _ConvParams(
+            (3, 3, 3, c // 2, 2), fan_in=(c // 2) * 27, name="gate_conv"
+        )()
+        ch1_w, ch1_b = _ConvParams((3, 3, 2, 1), fan_in=18, name="channel_conv1")()
+        ch2_w, ch2_b = _ConvParams((3, 3, 2, 1), fan_in=18, name="channel_conv2")()
 
-        x1, x2 = x[..., : c // 2], x[..., c // 2 :]
-        y1, y2 = g1 * x1, g2 * x2
-        r1, r2 = x1 - y1, x2 - y2
-        y1 = lshift_zero(y1, axis=1)  # shifted parts, zero-padded (gsf.py:58-59)
-        y2 = rshift_zero(y2, axis=1)
-
-        # Fusion weights from spatially pooled stats (gsf.py:61-81):
-        # stack mean_HW(y), mean_HW(r) as a 2-channel (C/2, T) image, 3x3 conv,
-        # sigmoid -> per (channel, frame) blend weight.
-        def fuse(y, r, name):
-            ym = jnp.swapaxes(jnp.mean(y, axis=(2, 3)), 1, 2)  # (B, C/2, T)
-            rm = jnp.swapaxes(jnp.mean(r, axis=(2, 3)), 1, 2)
-            stat = jnp.stack([ym, rm], axis=-1)  # (B, C/2, T, 2)
-            w = TorchConv(
-                features=1, kernel_size=(3, 3), padding="SAME",
-                dtype=self.dtype, name=name,
-            )(stat)
-            w = jax.nn.sigmoid(w[..., 0])  # (B, C/2, T)
-            w = jnp.swapaxes(w, 1, 2)[:, :, None, None, :]  # (B, T, 1, 1, C/2)
-            return y * w + r * (1.0 - w)
-
-        y1 = fuse(y1, r1, "channel_conv1")
-        y2 = fuse(y2, r2, "channel_conv2")
-        return _interleave_halves(y1, y2)
+        dt = self.dtype or x.dtype
+        # weights stay fp32: the kernel computes in fp32 and Mosaic only
+        # supports 32-bit scalar extracts
+        f32 = jnp.float32
+        args = (
+            x.astype(dt), xn.astype(dt),
+            gate_w.astype(f32), gate_b.astype(f32),
+            ch1_w.astype(f32), ch1_b.astype(f32),
+            ch2_w.astype(f32), ch2_b.astype(f32),
+        )
+        if self.use_pallas:
+            out = gsf_fused(*args, interpret=jax.default_backend() != "tpu")
+        else:
+            out = gsf_core(*args)
+        out = out.astype(dt)
+        return _interleave_halves(out[..., : c // 2], out[..., c // 2 :])
 
 
 class GatedShift(nn.Module):
@@ -156,6 +179,7 @@ class GatedShift(nn.Module):
     mode: str  # 'gsm' | 'gsf'
     n_div: int = 4
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -166,7 +190,9 @@ class GatedShift(nn.Module):
         if self.mode == "gsm":
             head = GSM(dtype=self.dtype, name="gs")(head, train)
         elif self.mode == "gsf":
-            head = GSF(dtype=self.dtype, name="gs")(head, train)
+            head = GSF(
+                dtype=self.dtype, use_pallas=self.use_pallas, name="gs"
+            )(head, train)
         else:
             raise NotImplementedError(self.mode)
         head = head.reshape(n, h, w, fold)

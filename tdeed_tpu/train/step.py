@@ -47,13 +47,34 @@ def make_train_step(
     fg_weight: float = 5.0,
     two_heads: Optional[Tuple[int, int]] = None,
     pretrain_classes_bg: int = 0,
+    pallas_augment: Optional[bool] = None,
 ) -> Callable:
     """Build the jittable train step.
 
     Batch layout: dict with 'frame' (B,T,H,W,3) uint8, 'label' (B,T) int32,
     plus optional 'labelD', 'frame2'/'label2'/'labelD2' (mixup) and 'dataset'
     (B,) in {1,2} (joint training). B must be divisible by acc_grad_iter.
+
+    pallas_augment: use the fused photometric Pallas kernel
+    (kernels/augment.py) instead of the XLA chain; None = auto (TPU only).
+    Not used with mixup=True (mixed frames are fp32 blends; the kernel path
+    needs uint8 input) — mixup blending happens before preprocessing either
+    way, so the kernel quantizes the blend to uint8 first, an acceptable
+    (documented) 1/255 rounding divergence.
     """
+    if pallas_augment is None:
+        pallas_augment = jax.default_backend() == "tpu"
+
+    def preprocess(frames, key):
+        if pallas_augment:
+            from tdeed_tpu.kernels.augment import train_preprocess_pallas
+
+            return train_preprocess_pallas(
+                frames, key, crop_dim,
+                interpret=jax.default_backend() != "tpu",
+            )
+        return augment.train_preprocess(frames, key, crop_dim)
+
     weights = class_weights(num_classes_bg, fg_weight)
     weights2 = (
         class_weights(pretrain_classes_bg, fg_weight) if two_heads else None
@@ -93,7 +114,7 @@ def make_train_step(
         else:
             frames, soft = mb["frame"], None
 
-        x = augment.train_preprocess(frames, k_aug, crop_dim)
+        x = preprocess(frames, k_aug)
         out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x,

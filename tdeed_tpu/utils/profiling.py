@@ -71,3 +71,20 @@ def time_fn(fn, *args, warmup: int = 2, iters: int = 10, **kwargs) -> float:
         out = fn(*args, **kwargs)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Persistent XLA compilation cache: first compile of each program is
+    slow (remote-compile tunnels especially); subsequent processes reuse it.
+    """
+    import os as _os
+
+    if path is None:
+        path = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+    _os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,117 @@
+"""Fused photometric Pallas kernel (interpret mode) vs the XLA reference
+chain with identical parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdeed_tpu.kernels.augment import (
+    N_PARAMS,
+    photometric_planar,
+    sample_params,
+)
+from tdeed_tpu.train import augment
+
+
+def _xla_chain(x_nhwc, params):
+    """Apply the same chain as the kernel via the XLA-path primitives."""
+    out = []
+    for i in range(x_nhwc.shape[0]):
+        p = params[i]
+        x = x_nhwc[i].astype(jnp.float32) / 255.0  # (T, H, W, 3)
+        if p[0] > 0.5:
+            x = augment.adjust_hue(x, p[1])
+        if p[2] > 0.5:
+            x = augment.adjust_saturation(x, p[3])
+        if p[4] > 0.5:
+            x = augment.adjust_brightness(x, p[5])
+        if p[6] > 0.5:
+            x = augment.adjust_contrast_framewise(x, p[7]) if hasattr(
+                augment, "adjust_contrast_framewise"
+            ) else augment.adjust_contrast(x, p[7])
+        if p[8] > 0.5:
+            # blur with the packed taps
+            taps = jnp.asarray(p[9:14])
+            xp = jnp.concatenate(
+                [x[:, 2:3], x[:, 1:2], x, x[:, -2:-1], x[:, -3:-2]], axis=1
+            )
+            x = sum(taps[j] * xp[:, j : j + x.shape[1]] for j in range(5))
+            xp = jnp.concatenate(
+                [x[:, :, 2:3], x[:, :, 1:2], x, x[:, :, -2:-1], x[:, :, -3:-2]],
+                axis=2,
+            )
+            x = sum(taps[j] * xp[:, :, j : j + x.shape[2]] for j in range(5))
+        out.append(augment.standardize(x))
+    return jnp.stack(out)
+
+
+@pytest.mark.parametrize("gates", ["all_on", "all_off", "mixed"])
+def test_kernel_matches_xla_chain(rng, gates):
+    B, T, H, W = 2, 3, 16, 16
+    frames = rng.integers(0, 256, (B, T, H, W, 3)).astype(np.uint8)
+
+    params = np.zeros((B, N_PARAMS), np.float32)
+    params[:, 1] = [0.1, -0.15]        # hue
+    params[:, 3] = [0.8, 1.1]          # sat
+    params[:, 5] = [1.15, 0.75]        # bright
+    params[:, 7] = [0.9, 1.2]          # contrast
+    sigma = np.array([0.8, 1.5], np.float32)
+    offs = np.arange(-2, 3, dtype=np.float32)
+    taps = np.exp(-0.5 * (offs[None] / sigma[:, None]) ** 2)
+    params[:, 9:14] = taps / taps.sum(1, keepdims=True)
+    if gates == "all_on":
+        params[:, [0, 2, 4, 6, 8]] = 1.0
+    elif gates == "mixed":
+        params[0, [0, 4, 8]] = 1.0
+        params[1, [2, 6]] = 1.0
+
+    planar = jnp.transpose(jnp.asarray(frames), (0, 1, 4, 2, 3))
+    got = photometric_planar(planar, jnp.asarray(params), interpret=True)
+    got_nhwc = np.asarray(
+        jnp.transpose(got, (0, 1, 3, 4, 2)).astype(jnp.float32)
+    )
+    want = np.asarray(_xla_chain(jnp.asarray(frames), params))
+    # kernel computes fp32 internally, writes bf16
+    np.testing.assert_allclose(got_nhwc, want, atol=2e-2, rtol=2e-2)
+
+
+def test_contrast_mean_is_per_frame(rng):
+    """The kernel computes the contrast blend mean per FRAME; the XLA path
+    does too (mean over (-3,-2) of each frame)."""
+    B, T, H, W = 1, 2, 8, 8
+    frames = np.zeros((B, T, H, W, 3), np.uint8)
+    frames[0, 0] = 255  # white frame; frame 1 black
+    params = np.zeros((B, N_PARAMS), np.float32)
+    params[0, 6] = 1.0  # contrast gate on
+    params[0, 7] = 0.5
+    planar = jnp.transpose(jnp.asarray(frames), (0, 1, 4, 2, 3))
+    got = photometric_planar(planar, jnp.asarray(params), interpret=True)
+    out = np.asarray(got.astype(jnp.float32))
+    # white frame: 0.5*1 + 0.5*mean(gray=1) = 1; black: 0
+    destd = out[0, :, 0, 0, 0] * float(augment.IMAGENET_STD[0]) + float(
+        augment.IMAGENET_MEAN[0]
+    )
+    np.testing.assert_allclose(destd, [1.0, 0.0], atol=2e-2)
+
+
+def test_sample_params_shapes_and_ranges():
+    p = np.asarray(sample_params(jax.random.PRNGKey(0), 64))
+    assert p.shape == (64, N_PARAMS)
+    assert set(np.unique(p[:, 0])) <= {0.0, 1.0}
+    assert np.all((p[:, 1] >= -0.2) & (p[:, 1] <= 0.2))
+    np.testing.assert_allclose(p[:, 9:14].sum(1), 1.0, rtol=1e-5)
+
+
+def test_train_preprocess_pallas_end_to_end(rng):
+    from tdeed_tpu.kernels.augment import train_preprocess_pallas
+
+    frames = jnp.asarray(
+        rng.integers(0, 256, (2, 3, 20, 20, 3)).astype(np.uint8)
+    )
+    out = train_preprocess_pallas(
+        frames, jax.random.PRNGKey(0), 16, interpret=True
+    )
+    assert out.shape == (2, 3, 16, 16, 3)
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))

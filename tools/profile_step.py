@@ -32,7 +32,13 @@ from tdeed_tpu.train import augment  # noqa: E402
 from tdeed_tpu.train.schedule import make_optimizer  # noqa: E402
 from tdeed_tpu.train.state import TrainState  # noqa: E402
 from tdeed_tpu.train.step import make_predict_step, make_train_step  # noqa: E402
-from tdeed_tpu.utils.profiling import time_fn, trace  # noqa: E402
+from tdeed_tpu.utils.profiling import (  # noqa: E402
+    enable_compilation_cache,
+    time_fn,
+    trace,
+)
+
+enable_compilation_cache()
 
 
 def main(argv=None):
@@ -71,7 +77,9 @@ def main(argv=None):
         "labelD2": jnp.asarray(r.integers(-2, 3, (B, T)).astype(np.float32)),
     }
 
-    variables = model.init(rng, frames_crop.astype(jnp.float32), False)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        rng, frames_crop.astype(jnp.float32), False
+    )
     tx = make_optimizer(8e-4, 100, 10_000)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
 
