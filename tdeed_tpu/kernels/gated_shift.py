@@ -7,24 +7,37 @@ fusion convs, sigmoid blends (ref: model/impl/gsf.py:9-93). Measured, the
 11 GatedShift instances add ~19 ms to a 30 ms backbone forward — dominated
 by many small-op dispatches and layout changes, not FLOPs.
 
-This kernel computes the whole chain after BatchNorm in ONE pass per batch
-element: the gate conv as 27 shifted (C -> 2) matvecs (block-diagonal
-weight, MXU), the gated shift, the HW-means, the 3x3 fusion convs as 18
-shifted multiply-adds on the tiny (C/2, T) stats image, and the final
-blend — one HBM read of x/xn + one write.
+Split of labour:
+  * the gate conv (27-tap 3D, 2 output channels) stays in XLA — it is one
+    well-lowered convolution, and unrolling it inside a kernel blew up the
+    Mosaic compiler at full shapes;
+  * everything after it — gating, ±1 temporal shift, HW-means, the two 3x3
+    fusion convs on the tiny (T, C/2) stats image, sigmoid blends — fuses
+    into ONE Pallas pass per batch element (``gsf_post_gate``): one HBM
+    read of x/gate + one write, instead of ~8 separate elementwise/layout
+    ops.
 
 BatchNorm (training-mode batch stats are a cross-batch reduction) and the
 channel interleave regroup (a lane shuffle XLA folds into the following
 1x1 conv) stay outside.
 
-Backward: jax.custom_vjp with the functional jnp reference (`gsf_core`)
-supplying the cotangents — forward traffic is the win; backward stays XLA.
+Backward: jax.custom_vjp with the functional jnp reference supplying the
+cotangents — forward traffic is the win; backward stays XLA.
+
+STATUS — EXPERIMENTAL, NOT FOR HARDWARE USE. Interpret-mode parity and
+gradient tests pass; on the current TPU toolchain the lowering is BOTH
+fragile (s3 geometry and bf16 internals crash the Mosaic remote compiler)
+and, where it does compile, numerically WRONG (tools/check_tpu_parity.py:
+normalized error ~13 at a small shape — suspected roll/mask or 2-lane
+broadcast miscompile). gsf_post_gate therefore raises on a real TPU unless
+TDEED_EXPERIMENTAL_GSF=1 is set. The production path is gsf_core (XLA);
+isolated timings showed the kernel would at best match XLA anyway — the
+in-graph GSF cost is layout transitions, not this op's arithmetic.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,28 +46,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # ---------------------------------------------------------------------------
-# Functional reference (jnp) — mirrors models/shift.py GSF after the BN.
+# Functional references (jnp) — mirror models/shift.py GSF after the BN.
 # ---------------------------------------------------------------------------
 
-def gsf_core(x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b):
-    """Post-BN GSF math on (B, T, H, W, C), C even.
+def gsf_gate(xn, gate_w, gate_b):
+    """tanh(3D grouped gate conv) (ref: gsf.py:17-18,38-44).
 
-    gate_w: (3, 3, 3, C//2, 2) flax grouped-conv kernel; gate_b: (2,)
-    ch{1,2}_w: (3, 3, 2, 1) fusion conv kernels; ch{1,2}_b: (1,)
-    Returns the blended head BEFORE the interleave regroup.
-    """
-    c = x.shape[-1]
-    # fp32 throughout (weights arrive fp32; activations may be bf16) — the
-    # Pallas kernel computes in fp32 too, so both paths agree bit-wise in
-    # structure. The caller casts the result back to the compute dtype.
-    x = x.astype(jnp.float32)
-    xn = xn.astype(jnp.float32)
+    xn: (B, T, H, W, C) post BN+ReLU; gate_w: (3, 3, 3, C//2, 2) flax
+    grouped kernel; returns (B, T, H, W, 2)."""
     gate = jax.lax.conv_general_dilated(
-        xn, gate_w, (1, 1, 1), "SAME",
+        xn.astype(gate_w.dtype), gate_w, (1, 1, 1), "SAME",
         dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
         feature_group_count=2,
     ) + gate_b
-    gate = jnp.tanh(gate)
+    return jnp.tanh(gate)
+
+
+def gsf_post_gate_ref(x, gate, ch1_w, ch1_b, ch2_w, ch2_b):
+    """Gating + shift + pooled-stat fusion blend (ref: gsf.py:46-93),
+    given the tanh'd gate. Returns the blended head pre-interleave."""
+    c = x.shape[-1]
+    x = x.astype(jnp.float32)
+    gate = gate.astype(jnp.float32)
     g1, g2 = gate[..., 0:1], gate[..., 1:2]
 
     x1, x2 = x[..., : c // 2], x[..., c // 2:]
@@ -80,18 +93,22 @@ def gsf_core(x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b):
     )
 
 
+def gsf_core(x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b):
+    """Full post-BN GSF math on (B, T, H, W, C), C even (XLA path)."""
+    gate = gsf_gate(xn, gate_w, gate_b)
+    return gsf_post_gate_ref(x, gate, ch1_w, ch1_b, ch2_w, ch2_b)
+
+
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas kernel (post-gate part)
 # ---------------------------------------------------------------------------
 
 
 def _shift_dim(a: jax.Array, off: int, axis: int) -> jax.Array:
     """y[i] = a[i + off] along `axis`, zero-filled at the edges.
 
-    Implemented as circular roll + iota mask: Mosaic lowers rolls natively,
-    while pad+slice becomes a concatenate it cannot tile on non-128-aligned
-    minor dims ("result/input offset mismatch on non-concat dimension").
-    """
+    Roll + iota mask: Mosaic lowers rolls natively, while pad+slice becomes
+    a concatenate it cannot tile on non-128-aligned minor dims."""
     if off == 0:
         return a
     rolled = pltpu.roll(a, (-off) % a.shape[axis], axis)
@@ -101,73 +118,42 @@ def _shift_dim(a: jax.Array, off: int, axis: int) -> jax.Array:
     return jnp.where(mask, rolled, jnp.zeros_like(a))
 
 
-def _gsf_kernel(x_ref, xn_ref, gw_ref, gb_ref, c1w_ref, c1b_ref,
-                c2w_ref, c2b_ref, out_ref, *, t: int, h: int, w: int, c: int):
+def _post_kernel(x_ref, gate_ref, c1w_ref, c1b_ref, c2w_ref, c2b_ref,
+                 out_ref, *, t: int, hw: int, c: int):
     ch = c // 2
     f32 = jnp.float32
-    x = x_ref[0].astype(f32)    # (T, H, W, C)
-    xn = xn_ref[0].astype(f32)
-    # Load the small parameter tensors wholesale and cast to f32 up front:
-    # Mosaic only supports 32-bit scalar extracts.
-    gw = gw_ref[...].astype(f32)      # (3, 3, 3, C//2, 2)
-    gb = gb_ref[...].astype(f32)      # (1, 2)
-    c1w = c1w_ref[...].astype(f32)    # (3, 3, 2, 1)
-    c1b = c1b_ref[...].astype(f32)    # (1, 1)
+    # fp32 internals: bf16 rolls/selects at these shapes crash the Mosaic
+    # compiler outright, fp32 compiles for the s4 geometry (the s3 geometry
+    # still overflows — see module docstring for status).
+    x = x_ref[0].astype(f32)            # (T, HW, C)
+    gate = gate_ref[0].astype(f32)      # (T, HW, 2)
+    c1w = c1w_ref[...].astype(f32)  # (3, 3, 2, 1)
+    c1b = c1b_ref[...].astype(f32)  # (1, 1)
     c2w = c2w_ref[...].astype(f32)
     c2b = c2b_ref[...].astype(f32)
 
-    # --- gate conv: 27 shifted (THW, C) x (C, 2) matvecs ----------------
-    xn_flat_shape = (t * h * w, c)
-    gate = jnp.zeros((t * h * w, 2), f32)
-    for dt in (-1, 0, 1):
-        for dh in (-1, 0, 1):
-            for dw in (-1, 0, 1):
-                shifted = _shift_dim(
-                    _shift_dim(_shift_dim(xn, dt, 0), dh, 1), dw, 2
-                )
-                # block-diagonal (C, 2): first half -> out 0, second -> out 1
-                wtap = gw[dt + 1, dh + 1, dw + 1]  # (C//2, 2)
-                wblock = jnp.concatenate(
-                    [
-                        jnp.concatenate(
-                            [wtap[:, 0:1], jnp.zeros((ch, 1), f32)], axis=1
-                        ),
-                        jnp.concatenate(
-                            [jnp.zeros((ch, 1), f32), wtap[:, 1:2]], axis=1
-                        ),
-                    ],
-                    axis=0,
-                )  # (C, 2)
-                gate = gate + jnp.dot(
-                    shifted.reshape(xn_flat_shape), wblock,
-                    preferred_element_type=f32,
-                )
-    gate = jnp.tanh(gate + gb[0, :])
-    gate = gate.reshape(t, h, w, 2)
     g1, g2 = gate[..., 0:1], gate[..., 1:2]
-
     x1, x2 = x[..., :ch], x[..., ch:]
     y1, y2 = g1 * x1, g2 * x2
     r1, r2 = x1 - y1, x2 - y2
-    # temporal shift with zero pad: y1 left (t+1), y2 right (t-1)
-    y1 = _shift_dim(y1, 1, 0)
-    y2 = _shift_dim(y2, -1, 0)
+    y1 = _shift_dim(y1, 1, 0)   # left shift, zero pad (gsf.py:58)
+    y2 = _shift_dim(y2, -1, 0)  # right shift
 
     def fuse(y, r, cw, cb):
-        # stats (T, C/2): mean over H, W
-        ym = jnp.mean(y, axis=(1, 2))
-        rm = jnp.mean(r, axis=(1, 2))
-        # 3x3 conv over the (C/2, T) image == over (T, C/2) with transposed
-        # taps: out[t, c] = sum_{dc, dt} W[dc, dt] . stat[t+dt, c+dc]
+        ym = jnp.mean(y, axis=1)  # (T, C/2)
+        rm = jnp.mean(r, axis=1)
+        # 3x3 conv over the (C/2, T) stats image, expressed on (T, C/2):
+        # out[t, ci] = sum_{dc, dt, s} W[dc, dt, s] * stat_s[t+dt, ci+dc]
         acc = jnp.zeros((t, ch), f32)
         for dc in (-1, 0, 1):
             for dt in (-1, 0, 1):
                 for s_idx, stat in ((0, ym), (1, rm)):
                     wv = cw[dc + 1, dt + 1, s_idx, 0]
-                    sh = _shift_dim(_shift_dim(stat, dt, 0), dc, 1)
-                    acc = acc + wv * sh
+                    acc = acc + wv * _shift_dim(
+                        _shift_dim(stat, dt, 0), dc, 1
+                    )
         wmap = jax.nn.sigmoid(acc + cb[0, 0])  # (T, C/2)
-        wmap = wmap[:, None, None, :]
+        wmap = wmap[:, None, :]
         return y * wmap + r * (1.0 - wmap)
 
     out1 = fuse(y1, r1, c1w, c1b)
@@ -175,56 +161,72 @@ def _gsf_kernel(x_ref, xn_ref, gw_ref, gb_ref, c1w_ref, c1b_ref,
     out_ref[0] = jnp.concatenate([out1, out2], axis=-1).astype(out_ref.dtype)
 
 
-def _gsf_pallas_fwd_impl(x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b,
-                         interpret: bool):
+def _post_pallas_impl(x, gate, ch1_w, ch1_b, ch2_w, ch2_b, interpret: bool):
     b, t, h, w, c = x.shape
-    kernel = functools.partial(_gsf_kernel, t=t, h=h, w=w, c=c)
+    hw = h * w
+    # Post-gate math is per-pixel + HW-means: collapse the spatial dims so
+    # the kernel tiles (HW sublanes, C lanes) instead of a rank-5 block.
+    x4 = x.reshape(b, t, hw, c)
+    gate4 = gate.reshape(b, t, hw, 2)
+    kernel = functools.partial(_post_kernel, t=t, hw=hw, c=c)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     xspec = pl.BlockSpec(
-        (1, t, h, w, c), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, t, hw, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    gspec = pl.BlockSpec(
+        (1, t, hw, 2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            xspec, xspec,
-            full((3, 3, 3, c // 2, 2)),
-            full((1, 2)),
+            xspec, gspec,
             full((3, 3, 2, 1)),
             full((1, 1)),
             full((3, 3, 2, 1)),
             full((1, 1)),
         ],
         out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((b, t, h, w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t, hw, c), x.dtype),
         interpret=interpret,
-    )(x, xn, gate_w, gate_b.reshape(1, 2), ch1_w, ch1_b.reshape(1, 1),
-      ch2_w, ch2_b.reshape(1, 1))
+    )(x4, gate4, ch1_w, ch1_b.reshape(1, 1), ch2_w, ch2_b.reshape(1, 1))
+    return out.reshape(b, t, h, w, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def gsf_fused(x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b,
-              interpret: bool = False):
-    """Fused post-BN GSF (blend result, pre-interleave). Differentiable:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def gsf_post_gate(x, gate, ch1_w, ch1_b, ch2_w, ch2_b,
+                  interpret: bool = False):
+    """Fused post-gate GSF (blend result, pre-interleave). Differentiable:
     forward = Pallas kernel, backward = VJP of the jnp reference."""
-    return _gsf_pallas_fwd_impl(
-        x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b, interpret
-    )
+    return _post_pallas_impl(x, gate, ch1_w, ch1_b, ch2_w, ch2_b, interpret)
 
 
-def _gsf_fwd(x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b, interpret):
-    out = _gsf_pallas_fwd_impl(
-        x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b, interpret
-    )
-    return out, (x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b)
+def _post_fwd(x, gate, ch1_w, ch1_b, ch2_w, ch2_b, interpret):
+    out = _post_pallas_impl(x, gate, ch1_w, ch1_b, ch2_w, ch2_b, interpret)
+    return out, (x, gate, ch1_w, ch1_b, ch2_w, ch2_b)
 
 
-def _gsf_bwd(interpret, res, g):
-    out_ref_fn = lambda *a: gsf_core(*a).astype(res[0].dtype)
-    _, vjp = jax.vjp(out_ref_fn, *res)
+def _post_bwd(interpret, res, g):
+    ref_fn = lambda *a: gsf_post_gate_ref(*a).astype(res[0].dtype)
+    _, vjp = jax.vjp(ref_fn, *res)
     return vjp(g)
 
 
-gsf_fused.defvjp(_gsf_fwd, _gsf_bwd)
+gsf_post_gate.defvjp(_post_fwd, _post_bwd)
+
+
+def gsf_fused(x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b,
+              interpret: bool = False):
+    """GSF with the gate conv in XLA and the post-gate chain fused."""
+    import os
+
+    if not interpret and os.environ.get("TDEED_EXPERIMENTAL_GSF") != "1":
+        raise NotImplementedError(
+            "gsf_fused is numerically incorrect on the current TPU "
+            "toolchain (see module docstring); use the XLA path "
+            "(pallas_shift=False) or set TDEED_EXPERIMENTAL_GSF=1."
+        )
+    gate = gsf_gate(xn, gate_w, gate_b)
+    return gsf_post_gate(x, gate, ch1_w, ch1_b, ch2_w, ch2_b, interpret)

@@ -66,14 +66,15 @@ def make_train_step(
         pallas_augment = jax.default_backend() == "tpu"
 
     def preprocess(frames, key):
+        # crop_dim=None: loss_fn already applied the shared RandomCrop
         if pallas_augment:
             from tdeed_tpu.kernels.augment import train_preprocess_pallas
 
             return train_preprocess_pallas(
-                frames, key, crop_dim,
+                frames, key, None,
                 interpret=jax.default_backend() != "tpu",
             )
-        return augment.train_preprocess(frames, key, crop_dim)
+        return augment.train_preprocess(frames, key, None)
 
     weights = class_weights(num_classes_bg, fg_weight)
     weights2 = (
@@ -82,11 +83,22 @@ def make_train_step(
     total_bg = num_classes_bg + (pretrain_classes_bg if two_heads else 0)
 
     def loss_fn(params, batch_stats, mb: Dict[str, jax.Array], key: jax.Array):
-        k_mix, k_aug, k_drop = jax.random.split(key, 3)
+        k_mix, k_crop, k_aug, k_drop = jax.random.split(key, 4)
 
         label = mb["label"].astype(jnp.int32)
         label_d = mb.get("labelD")
         dataset_id = mb.get("dataset")
+
+        # The RandomCrop is one offset shared by the whole batch
+        # (ref: model/model.py:110-116) and the mixup blend is pointwise, so
+        # crop-then-blend == blend-then-crop exactly — cropping first avoids
+        # blending at full pre-crop resolution.
+        mb = dict(mb)
+        mb["frame"] = augment.random_crop_batch(mb["frame"], crop_dim, k_crop)
+        if "frame2" in mb:
+            mb["frame2"] = augment.random_crop_batch(
+                mb["frame2"], crop_dim, k_crop
+            )
 
         if two_heads is not None and dataset_id is not None:
             # Head-2 labels shift past head-1's classes (ref: model/model.py:371-376)

@@ -111,14 +111,29 @@ def main():
         jax.block_until_ready(m["loss"])
         return (_time.perf_counter() - t0) / (n - 1), float(m["loss"])
 
-    for name, flag in [("xla-augment", False), ("pallas-augment", True)]:
+    import dataclasses
+
+    model_pallas_gsf = build_model(
+        dataclasses.replace(cfg, pallas_shift=True)
+    )
+    variants = [
+        ("xla-augment", model, False),
+        ("pallas-augment", model, True),
+        ("pallas-augment+gsf", model_pallas_gsf, True),
+    ]
+    for name, mdl, flag in variants:
         step = jax.jit(
             make_train_step(
-                model, tx, crop_dim=S, num_classes_bg=5, mixup=True,
+                mdl, tx, crop_dim=S, num_classes_bg=5, mixup=True,
                 radi_displacement=2, acc_grad_iter=1, pallas_augment=flag,
             ),
         )
-        sec, last_loss = bench_threaded(step, state)
+        try:
+            sec, last_loss = bench_threaded(step, state)
+        except Exception as e:
+            print(f"train step [{name}]: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            continue
         print(f"train step [{name}]: {sec*1e3:8.2f} ms  "
               f"{B*T/sec:9.0f} frames/s  loss@20={last_loss:.4f}", flush=True)
 
