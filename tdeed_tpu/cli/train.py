@@ -178,8 +178,15 @@ def main(argv=None) -> None:
     )
 
     # --- model / optimizer / mesh --------------------------------------
-    n_devices = args.n_devices or jax.local_device_count()
-    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    # Multi-host: jax.distributed must be initialized by the launcher; each
+    # process loads its slice of the global batch (distinct sampler seeds)
+    # and form_global_batch stitches the shards over the full mesh.
+    n_local = args.n_devices or jax.local_device_count()
+    multihost = jax.process_count() > 1
+    if multihost:
+        mesh = make_mesh(devices=jax.devices())
+    else:
+        mesh = make_mesh(n_local) if n_local > 1 else None
     model = build_model(cfg, two_heads=two_heads)
 
     crop = cfg.crop_dim
@@ -240,19 +247,25 @@ def main(argv=None) -> None:
         return probs
 
     # --- data loaders ---------------------------------------------------
+    # per-host slice of the global batch (single host: the whole batch)
+    local_batch = cfg.batch_size // jax.process_count()
+    assert local_batch * jax.process_count() == cfg.batch_size, (
+        "batch_size must divide evenly across hosts"
+    )
+    host_seed_off = jax.process_index() * 1_000_003
     train_loader = BatchLoader(
         train_sampler,
-        cfg.batch_size,
-        cfg.dataset_len,
+        local_batch,
+        cfg.dataset_len // jax.process_count(),
         num_workers=max(4, cfg.num_workers),
-        seed=args.seed,
+        seed=args.seed + host_seed_off,
     )
     val_loader = BatchLoader(
         val_sampler,
-        cfg.batch_size,
-        cfg.dataset_len // 4,  # ref: dataset/datasets.py:49
+        local_batch,
+        cfg.dataset_len // 4 // jax.process_count(),  # ref: datasets.py:49
         num_workers=max(4, cfg.num_workers),
-        seed=args.seed + 100_000,
+        seed=args.seed + 100_000 + host_seed_off,
     )
 
     val_data_frames = None
@@ -280,12 +293,20 @@ def main(argv=None) -> None:
 
     step_rng = jax.random.PRNGKey(args.seed + 7)
 
+    def place(batch):
+        if multihost:
+            from tdeed_tpu.parallel.mesh import form_global_batch
+
+            return form_global_batch(batch, mesh)
+        if mesh is not None:
+            return shard_batch(batch, mesh)
+        return batch
+
     def run_train_epoch(epoch: int) -> float:
         nonlocal state
         total, n = 0.0, 0
         for batch in train_loader.epoch(epoch):
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+            batch = place(batch)
             state, metrics = train_step(state, batch, step_rng)
             total += float(metrics["loss"])
             n += 1
@@ -294,9 +315,7 @@ def main(argv=None) -> None:
     def run_val_epoch(epoch: int) -> float:
         total, n = 0.0, 0
         for batch in val_loader.epoch(epoch):
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            aux = val_step(state, batch)
+            aux = val_step(state, place(batch))
             total += float(aux["loss"])
             n += 1
         return total / max(1, n)

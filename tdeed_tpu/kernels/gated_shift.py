@@ -38,6 +38,7 @@ in-graph GSF cost is layout transitions, not this op's arithmetic.
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +54,12 @@ def gsf_gate(xn, gate_w, gate_b):
     """tanh(3D grouped gate conv) (ref: gsf.py:17-18,38-44).
 
     xn: (B, T, H, W, C) post BN+ReLU; gate_w: (3, 3, 3, C//2, 2) flax
-    grouped kernel; returns (B, T, H, W, 2)."""
+    grouped kernel; returns (B, T, H, W, 2).
+
+    Note: a custom-backward variant exists (gate_conv, bottom of module)
+    but measured SLOWER in-graph (134 vs 120 ms/step) — the 27-tap shift
+    chains in its VJP do not fuse as well as XLA's native conv gradients
+    here; kept for reference."""
     gate = jax.lax.conv_general_dilated(
         xn.astype(gate_w.dtype), gate_w, (1, 1, 1), "SAME",
         dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
@@ -230,3 +236,94 @@ def gsf_fused(x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b,
         )
     gate = gsf_gate(xn, gate_w, gate_b)
     return gsf_post_gate(x, gate, ch1_w, ch1_b, ch2_w, ch2_b, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Gate conv with a hand-written backward.
+#
+# The forward (3x3x3 grouped conv, fold -> 2 channels) lowers fine, but
+# XLA's BACKWARD for a 2-output-channel conv is pathological: the variant
+# ladder (tools/profile_gsf_variants.py) measured the gate convs adding
+# ~30 ms fwd+bwd across 11 GSF instances. With one output channel per
+# group the gradients have closed forms made of cheap shifts:
+#   d_xn[q, c] = sum_d  w[d, c] * shifted_{-d}(g_cot)      (outer product)
+#   d_w[d, c]  = sum_p  shifted_{+d}(xn)[p, c] * g_cot[p]  (reduction)
+# both of which XLA fuses into a handful of elementwise passes.
+# ---------------------------------------------------------------------------
+
+
+def _shift3(a: jax.Array, d: Tuple[int, int, int]) -> jax.Array:
+    """Zero-filled shift of (B, T, H, W, ...) by d over (T, H, W):
+    y[p] = a[p + d]."""
+    out = a
+    for axis, off in zip((1, 2, 3), d):
+        if off == 0:
+            continue
+        n = out.shape[axis]
+        pad = [(0, 0)] * out.ndim
+        sl = [slice(None)] * out.ndim
+        if off > 0:
+            sl[axis] = slice(off, None)
+            pad[axis] = (0, off)
+        else:
+            sl[axis] = slice(None, off)
+            pad[axis] = (-off, 0)
+        out = jnp.pad(out[tuple(sl)], pad)
+    return out
+
+
+_TAPS = [(dt, dh, dw) for dt in (-1, 0, 1) for dh in (-1, 0, 1)
+         for dw in (-1, 0, 1)]
+
+
+@jax.custom_vjp
+def gate_conv(xn, gate_w, gate_b):
+    """3x3x3 grouped (2-group, 2-output) gate conv, pre-tanh.
+
+    Same math as the conv inside gsf_gate; custom backward avoids XLA's
+    slow transposed-conv lowering for 2 output channels."""
+    out = jax.lax.conv_general_dilated(
+        xn.astype(gate_w.dtype), gate_w, (1, 1, 1), "SAME",
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        feature_group_count=2,
+    )
+    return out + gate_b
+
+
+def _gate_conv_fwd(xn, gate_w, gate_b):
+    return gate_conv(xn, gate_w, gate_b), (xn, gate_w)
+
+
+def _gate_conv_bwd(res, g):
+    xn, gate_w = res
+    c = xn.shape[-1]
+    ch = c // 2
+    f32 = jnp.float32
+    g = g.astype(f32)
+    g0, g1 = g[..., 0:1], g[..., 1:2]  # cotangents per group
+
+    # d_xn: sum over taps of shifted cotangent x per-channel weight
+    d_halves = []
+    for half, gc in ((0, g0), (1, g1)):
+        acc = jnp.zeros(xn.shape[:-1] + (ch,), f32)
+        for i, d in enumerate(_TAPS):
+            w_tap = gate_w[d[0] + 1, d[1] + 1, d[2] + 1, :, half].astype(f32)
+            acc = acc + _shift3(gc, (-d[0], -d[1], -d[2])) * w_tap
+        d_halves.append(acc)
+    d_xn = jnp.concatenate(d_halves, axis=-1).astype(xn.dtype)
+
+    # d_w[d, c, o] = sum_pixels shifted_{+d}(xn_half_o)[., c] * g_o[.]
+    xn32 = xn.astype(f32)
+    rows = []
+    for d in _TAPS:
+        sh = _shift3(xn32, d)
+        r0 = jnp.sum(sh[..., :ch] * g0, axis=(0, 1, 2, 3))  # (C/2,)
+        r1 = jnp.sum(sh[..., ch:] * g1, axis=(0, 1, 2, 3))
+        rows.append(jnp.stack([r0, r1], axis=-1))  # (C/2, 2)
+    d_w = jnp.stack(rows, axis=0).reshape(3, 3, 3, ch, 2).astype(gate_w.dtype)
+
+    d_b = jnp.sum(g, axis=(0, 1, 2, 3)).astype(gate_w.dtype)
+    return d_xn, d_w, d_b
+
+
+gate_conv.defvjp(_gate_conv_fwd, _gate_conv_bwd)

@@ -43,3 +43,17 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Device-put a host batch with the leading axis sharded over the mesh."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def form_global_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Assemble a globally-sharded batch from per-host local shards.
+
+    Multi-host DP: every host loads batch_size/process_count samples; this
+    stitches them into global jax.Arrays sharded over the mesh's data axis
+    (the multi-host equivalent of shard_batch, which assumes one process
+    owns the full batch)."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch,
+    )

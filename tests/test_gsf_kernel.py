@@ -69,3 +69,30 @@ def test_gradients_flow(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
+
+def test_gate_conv_custom_backward_matches_autodiff(rng):
+    """gate_conv's hand-written VJP vs jax autodiff of the raw conv."""
+    import jax
+    import jax.numpy as jnp
+    from tdeed_tpu.kernels.gated_shift import gate_conv
+
+    xn = jnp.asarray(rng.standard_normal((2, 5, 4, 4, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4, 2)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2,)).astype(np.float32))
+
+    def raw(xn, w, b):
+        return jax.lax.conv_general_dilated(
+            xn, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            feature_group_count=2,
+        ) + b
+
+    cot = jnp.asarray(rng.standard_normal((2, 5, 4, 4, 2)).astype(np.float32))
+
+    out_c, vjp_c = jax.vjp(gate_conv, xn, w, b)
+    out_r, vjp_r = jax.vjp(raw, xn, w, b)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r), rtol=1e-5, atol=1e-5)
+    for a, bb_ in zip(vjp_c(cot), vjp_r(cot)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb_), rtol=2e-4, atol=2e-4
+        )
