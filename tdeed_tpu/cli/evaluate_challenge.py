@@ -33,7 +33,6 @@ def main(argv=None) -> None:
     )
 
     import jax
-    import jax.numpy as jnp
 
     from tdeed_tpu.checkpoint import CheckpointManager
     from tdeed_tpu.cli.train import labels_root_for

@@ -19,7 +19,7 @@ import os
 import random
 import sys
 import time
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -320,9 +320,8 @@ def main(argv=None) -> None:
             n += 1
         return total / max(1, n)
 
-    if not cfg.only_test or not os.path.exists(
-        os.path.join(ckpt.save_dir, "checkpoint_best")
-    ):
+    def _train_epochs():
+        nonlocal best
         for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.time()
             train_loss = run_train_epoch(epoch)
@@ -373,6 +372,21 @@ def main(argv=None) -> None:
                 + (" *best*" if is_best else "")
             )
             ckpt.save_epoch(state, epoch, record, is_best, best)
+
+    if not cfg.only_test or not os.path.exists(
+        os.path.join(ckpt.save_dir, "checkpoint_best")
+    ):
+        try:
+            _train_epochs()
+        except KeyboardInterrupt:
+            # Graceful interrupt: persist the in-flight state so --resume
+            # continues from here (the reference restarts from scratch —
+            # SURVEY.md §5 failure-recovery gap).
+            print("interrupted: saving checkpoint_last for --resume")
+            from tdeed_tpu.checkpoint import LAST, save_state
+
+            save_state(os.path.join(ckpt.save_dir, LAST), state)
+            raise
 
     # --- test ----------------------------------------------------------
     if os.path.exists(os.path.join(ckpt.save_dir, "checkpoint_best")):

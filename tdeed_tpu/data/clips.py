@@ -30,7 +30,7 @@ from tdeed_tpu.data.registry import (
     event_frame,
     get_spec,
 )
-from tdeed_tpu.utils.io import load_json, load_text
+from tdeed_tpu.utils.io import load_json
 
 
 # A stored clip is the reference's list format:
@@ -54,6 +54,28 @@ def store_key(clip_len: int, radi_displacement: int, split: str) -> str:
     return f"LEN{clip_len}DIS{radi_displacement}SPLIT{split}"
 
 
+class _DirListingCache:
+    """One scandir per video directory instead of one stat per frame.
+
+    The reference probes os.path.exists for every frame of every window
+    (ref: dataset/frame.py:296-353) — with 90% window overlap that is
+    ~10 stat calls per frame, millions on SoccerNet. A single directory
+    listing answers all of them from memory."""
+
+    def __init__(self):
+        self._cache: Dict[str, frozenset] = {}
+
+    def names(self, path: str) -> frozenset:
+        got = self._cache.get(path)
+        if got is None:
+            try:
+                got = frozenset(os.listdir(path))
+            except FileNotFoundError:
+                got = frozenset()
+            self._cache[path] = got
+        return got
+
+
 def resolve_clip_paths(
     spec: DatasetSpec,
     frame_dir: str,
@@ -62,6 +84,7 @@ def resolve_clip_paths(
     end: int,
     stride: int,
     source_info: Optional[dict] = None,
+    dir_cache: Optional[_DirListingCache] = None,
 ) -> ClipPaths:
     """Probe frame existence for a window (ref: dataset/frame.py:274-353).
 
@@ -69,6 +92,7 @@ def resolve_clip_paths(
     that stopped existing (once a frame is missing, everything after pads).
     """
     path, frame0, ndigits = spec.scheme.resolve(frame_dir, video, source_info)
+    listing = dir_cache.names(path) if dir_cache is not None else None
     found_start = -1
     pad_start = 0
     pad_end = 0
@@ -81,10 +105,13 @@ def resolve_clip_paths(
             continue
         frame = frame0 + frame_num
         if ndigits > 0:
-            frame_path = os.path.join(path, str(frame).zfill(ndigits) + ".jpg")
+            name = str(frame).zfill(ndigits) + ".jpg"
         else:
-            frame_path = os.path.join(path, f"frame{frame}.jpg")
-        exists = os.path.exists(frame_path)
+            name = f"frame{frame}.jpg"
+        if listing is not None:
+            exists = name in listing
+        else:
+            exists = os.path.exists(os.path.join(path, name))
         if exists and found_start == -1:
             found_start = frame
         if not exists:
@@ -145,6 +172,7 @@ def plan_clips(
     assert 0 <= overlap <= 1
 
     plan = ClipPlan(frame_paths=[], labels=[], labels_d=[])
+    dir_cache = _DirListingCache()
     for video in videos:
         video_len = int(video["num_frames"])
         if dataset == "soccernet":
@@ -170,6 +198,7 @@ def plan_clips(
             paths = resolve_clip_paths(
                 spec, frame_dir, video["video"], base_idx,
                 base_idx + clip_len * stride, stride, source_info,
+                dir_cache=dir_cache,
             )
             labels, labels_d = _dilated_events(
                 events, classes, dataset, video_half, base_idx, stride,

@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 FPS_SN = 25  # ref: dataset/frame.py:27
 DEFAULT_PAD_LEN = 5  # ref: dataset/frame.py:26

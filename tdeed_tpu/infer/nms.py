@@ -10,7 +10,6 @@ lists produced per video.
 
 from __future__ import annotations
 
-import copy
 from collections import defaultdict
 from typing import Dict, List, Union
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 import copy
 import math
 import os
-import random
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, List, Optional, Tuple
 

@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from tdeed_tpu.utils.io import load_json, load_text
+from tdeed_tpu.utils.io import load_json
 
 FPS_SN = 25
 

@@ -19,7 +19,7 @@ tests/test_sgp.py):
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tdeed_tpu.models.heads import FC2Layers, FCLayers
-from tdeed_tpu.models.regnet import RegNetY, feature_dim
+from tdeed_tpu.models.regnet import RegNetY
 from tdeed_tpu.models.sgp import EDSGPMixer
 
 

@@ -12,7 +12,7 @@ batch stats are means over the *global* batch), which tests verify on an
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import numpy as np

@@ -11,8 +11,6 @@ torch.nn.functional.cross_entropy semantics are reproduced exactly:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -110,3 +110,22 @@ def test_oracle_predictions_reach_perfect_map(data, classes, fixture, capsys):
     with open(os.path.join(fixture["save_dir"], "pred-test.json")) as fp:
         stored = json.load(fp)
     assert stored and stored[0]["events"]
+
+
+def test_tta_doubles_support(data, classes):
+    """augment=True runs a second hflip pass and counts support per pass
+    (ref: util/eval.py:290-349)."""
+
+    def fake_predict(frames, hflip=False):
+        return np.full(
+            (frames.shape[0], CLIP_LEN, len(classes) + 1), 0.5, np.float32
+        )
+
+    plain = run_inference(fake_predict, data, classes, augment=False,
+                          batch_size=4)
+    tta = run_inference(fake_predict, data, classes, augment=True,
+                        batch_size=1)
+    v = data.videos[0][0]
+    # same coverage pattern, double the support counts under TTA
+    np.testing.assert_array_equal(tta[v][1], 2 * plain[v][1])
+    np.testing.assert_allclose(tta[v][0], 2 * plain[v][0], rtol=1e-6)
