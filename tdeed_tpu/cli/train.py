@@ -149,7 +149,7 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from tdeed_tpu.checkpoint import CheckpointManager
-    from tdeed_tpu.data.loader import BatchLoader
+    from tdeed_tpu.data.loader import BatchLoader, device_prefetch
     from tdeed_tpu.data.registry import get_spec, load_classes
     from tdeed_tpu.infer.evaluate import evaluate
     from tdeed_tpu.infer.windows import VideoWindows
@@ -302,11 +302,14 @@ def main(argv=None) -> None:
             return shard_batch(batch, mesh)
         return batch
 
+    def placed(iterator):
+        # double-buffered H2D: decode/assembly overlaps device compute
+        return device_prefetch(map(place, iterator), sharding=None, depth=2)
+
     def run_train_epoch(epoch: int) -> float:
         nonlocal state
         total, n = 0.0, 0
-        for batch in train_loader.epoch(epoch):
-            batch = place(batch)
+        for batch in placed(train_loader.epoch(epoch)):
             state, metrics = train_step(state, batch, step_rng)
             total += float(metrics["loss"])
             n += 1
@@ -314,8 +317,8 @@ def main(argv=None) -> None:
 
     def run_val_epoch(epoch: int) -> float:
         total, n = 0.0, 0
-        for batch in val_loader.epoch(epoch):
-            aux = val_step(state, place(batch))
+        for batch in placed(val_loader.epoch(epoch)):
+            aux = val_step(state, batch)
             total += float(aux["loss"])
             n += 1
         return total / max(1, n)
