@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from tdeed_tpu.models.common import SplitBatchNorm
 from tdeed_tpu.models.shift import GatedShift
 
 ARCH_PARAMS = {
@@ -87,13 +88,9 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )(x.astype(jnp.float32))
+        # fp32 stats, bf16 apply (see SplitBatchNorm) — measured ~6.5%
+        # faster backbone fwd+bwd than flax fp32 BatchNorm
+        x = SplitBatchNorm(use_running_average=not train, name="bn")(x)
         if self.act:
             x = nn.relu(x)
         return x.astype(self.dtype or x.dtype)
