@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tdeed_tpu.models.common import SplitBatchNorm
 from tdeed_tpu.ops.temporal import lshift_zero, rshift_zero
 
 
@@ -61,14 +62,8 @@ class GSM(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         c = x.shape[-1]
-        xn = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )(x.astype(jnp.float32))
-        xn = nn.relu(xn).astype(x.dtype)
+        xn = SplitBatchNorm(use_running_average=not train, name="bn")(x)
+        xn = nn.relu(xn)
         gate = nn.Conv(
             features=2,
             kernel_size=(3, 3, 3),
@@ -135,14 +130,8 @@ class GSF(nn.Module):
 
         c = x.shape[-1]
         assert c % 4 == 0, c
-        xn = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )(x.astype(jnp.float32))
-        xn = nn.relu(xn).astype(x.dtype)
+        xn = SplitBatchNorm(use_running_average=not train, name="bn")(x)
+        xn = nn.relu(xn)
 
         # Default-init (not zero) gate conv, unlike GSM (ref: gsf.py:17-18).
         gate_w, gate_b = _ConvParams(
