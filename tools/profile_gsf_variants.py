@@ -27,6 +27,8 @@ enable_compilation_cache()
 
 from flax import linen as nn  # noqa: E402
 
+import jax as _jax  # noqa: F401,E402
+
 import tdeed_tpu.models.shift as shift_mod  # noqa: E402
 from tdeed_tpu.models.regnet import RegNetY  # noqa: E402
 
@@ -59,7 +61,25 @@ def timed_fwd_bwd(variant: str) -> float:
             ch1_w, ch1_b = _ConvParams((3, 3, 2, 1), 18, name="channel_conv1")()
             ch2_w, ch2_b = _ConvParams((3, 3, 2, 1), 18, name="channel_conv2")()
             f32 = jnp.float32
-            gate = gsf_gate(xn, gate_w.astype(f32), gate_b.astype(f32))
+            if variant.startswith("pad"):
+                # pad output channels: K per group instead of 1; XLA tiles
+                # the conv + its gradients far better, zeros sliced away
+                k = int(variant[3:])
+                w = gate_w.astype(f32)
+                wide = jnp.zeros((3, 3, 3, c // 2, 2 * k), f32)
+                wide = wide.at[..., 0].set(w[..., 0])
+                wide = wide.at[..., k].set(w[..., 1])
+                out_wide = jax.lax.conv_general_dilated(
+                    xn.astype(f32), wide, (1, 1, 1), "SAME",
+                    dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+                    feature_group_count=2,
+                )
+                gate = jnp.tanh(
+                    jnp.stack([out_wide[..., 0], out_wide[..., k]], axis=-1)
+                    + gate_b.astype(f32)
+                )
+            else:
+                gate = gsf_gate(xn, gate_w.astype(f32), gate_b.astype(f32))
             if variant == "bn+gate":
                 return x + 0.0 * gate.astype(x.dtype).sum(-1, keepdims=True)
             out = gsf_post_gate_ref(
@@ -118,7 +138,10 @@ def timed_fwd_bwd(variant: str) -> float:
 
 
 def main():
-    for variant in ("none", "bn", "bn+gate", "full-nointl", "full"):
+    # first timed program in a fresh process is a warmup artifact — the
+    # leading duplicate is a throwaway. pad8/pad64 (output-channel-padded
+    # gate conv) measured WORSE than the plain conv (116/122 vs 109 ms).
+    for variant in ("full", "none", "bn", "bn+gate", "full-nointl", "full"):
         try:
             sec = timed_fwd_bwd(variant)
             print(f"backbone fwd+bwd [{variant:12s}]: {sec*1e3:8.2f} ms",
