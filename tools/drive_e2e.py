@@ -123,11 +123,125 @@ def drive_snb_challenge(root: str) -> None:
           flush=True)
 
 
+def drive_joint_pretrain(root: str) -> None:
+    """SNB + SN joint training: FC2 double head, 50/50 tagged sampling,
+    per-sample CE routing (ref: model/model.py:169-172,278-306)."""
+    import numpy as np
+    from PIL import Image
+
+    from tdeed_tpu.cli.train import main
+
+    frame_dir = os.path.join(root, "frames")
+    data_root = os.path.join(root, "data")
+    save_dir = os.path.join(root, "save")
+    store_dir = os.path.join(root, "store")
+
+    def frames(dirpath, n):
+        os.makedirs(dirpath, exist_ok=True)
+        r = np.random.default_rng(0)
+        for i in range(n):
+            Image.fromarray(
+                r.integers(0, 256, (24, 32, 3), np.uint8)
+            ).save(os.path.join(dirpath, f"frame{i}.jpg"))
+
+    # --- SNB primary ----------------------------------------------------
+    snb_dir = os.path.join(data_root, "soccernetball")
+    os.makedirs(snb_dir, exist_ok=True)
+    snb_labels = os.path.join(root, "labels_snb")
+    snb_classes = ["PASS", "DRIVE", "GOAL"]
+    with open(os.path.join(snb_dir, "class.txt"), "w") as fp:
+        fp.write("\n".join(snb_classes) + "\n")
+    with open(os.path.join(snb_dir, "labels_path.txt"), "w") as fp:
+        fp.write(snb_labels)
+    for split, games in (("train", ["g1", "g2"]), ("val", ["g3"])):
+        metas = []
+        for g in games:
+            game = f"league/2020/{g}"
+            frames(os.path.join(frame_dir, game), 60)
+            os.makedirs(os.path.join(snb_labels, game), exist_ok=True)
+            ann = [{"gameTime": "1 - 00:01", "label": "PASS",
+                    "position": "1000"}]
+            with open(os.path.join(snb_labels, game, "Labels-ball.json"),
+                      "w") as fp:
+                json.dump({"annotations": ann}, fp)
+            metas.append({"video": game, "num_frames": 60})
+        with open(os.path.join(snb_dir, f"{split}.json"), "w") as fp:
+            json.dump(metas, fp)
+
+    # --- SN pretrain ------------------------------------------------------
+    sn_dir = os.path.join(data_root, "soccernet")
+    os.makedirs(sn_dir, exist_ok=True)
+    sn_labels = os.path.join(root, "labels_sn")
+    with open(os.path.join(sn_dir, "class.txt"), "w") as fp:
+        fp.write("Goal\nFoul\n")
+    with open(os.path.join(sn_dir, "labels_path.txt"), "w") as fp:
+        fp.write(sn_labels)
+    for split, games in (("train", ["m1"]), ("val", ["m2"])):
+        metas = []
+        for g in games:
+            game = f"cup/2020/{g}"
+            for half in (1, 2):
+                frames(os.path.join(frame_dir, game, str(half)), 240)
+            os.makedirs(os.path.join(sn_labels, game), exist_ok=True)
+            ann = [
+                {"gameTime": "1 - 00:02", "label": "Goal", "position": "2000"},
+                {"gameTime": "1 - 00:06", "label": "Foul", "position": "6000"},
+                {"gameTime": "2 - 00:02", "label": "Goal", "position": "2000"},
+                {"gameTime": "2 - 00:06", "label": "Foul", "position": "6000"},
+            ]
+            with open(os.path.join(sn_labels, game, "Labels-v2.json"),
+                      "w") as fp:
+                json.dump({"annotations": ann}, fp)
+            metas.extend(
+                {"video": f"{game}/{half}", "num_frames": 240}
+                for half in (1, 2)
+            )
+        with open(os.path.join(sn_dir, f"{split}.json"), "w") as fp:
+            json.dump(metas, fp)
+
+    cfg = {
+        "frame_dir": frame_dir, "save_dir": save_dir, "store_dir": store_dir,
+        "store_mode": "store", "batch_size": 2, "clip_len": 8, "crop_dim": -1,
+        "dataset": "soccernetball", "radi_displacement": 1,
+        "epoch_num_frames": 32, "feature_arch": "rny002_gsf",
+        "learning_rate": 1e-3, "mixup": True, "modality": "rgb",
+        "num_classes": 3, "num_epochs": 1, "warm_up_epochs": 1,
+        "start_val_epoch": 99, "temporal_arch": "ed_sgp_mixer", "n_layers": 2,
+        "sgp_ks": 3, "sgp_r": 2, "only_test": False, "criterion": "loss",
+        "num_workers": 2,
+        "pretrain": {"dataset": "soccernet", "num_classes": 2,
+                     "frame_dir": frame_dir, "store_dir": store_dir + "2"},
+    }
+    cfg_root = os.path.join(root, "configs")
+    os.makedirs(os.path.join(cfg_root, "SoccerNetBall"), exist_ok=True)
+    cfg_path = os.path.join(cfg_root, "SoccerNetBall",
+                            "SoccerNetBall_joint.json")
+    with open(cfg_path, "w") as fp:
+        json.dump(cfg, fp)
+    argv = ["--model", "SoccerNetBall_joint", "--config_root", cfg_root,
+            "--data_root", data_root, "--no_wandb"]
+    print("== JOINT STORE ==", flush=True)
+    try:
+        main(argv)
+    except SystemExit as e:
+        assert e.code in (0, None), e.code
+    cfg["store_mode"] = "load"
+    with open(cfg_path, "w") as fp:
+        json.dump(cfg, fp)
+    print("== JOINT LOAD (double-head train) ==", flush=True)
+    main(argv)
+    run_dir = os.path.join(save_dir, "SoccerNetBall_joint")
+    assert os.path.exists(os.path.join(run_dir, "loss.json"))
+    print("== JOINT PRETRAIN DRIVE OK ==", flush=True)
+
+
 def main():
     root1 = tempfile.mkdtemp(prefix="drive_fd_")
     drive_finediving(root1)
     root2 = tempfile.mkdtemp(prefix="drive_snb_")
     drive_snb_challenge(root2)
+    root3 = tempfile.mkdtemp(prefix="drive_joint_")
+    drive_joint_pretrain(root3)
     print("ALL E2E DRIVES OK")
 
 
