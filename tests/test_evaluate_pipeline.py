@@ -129,3 +129,26 @@ def test_tta_doubles_support(data, classes):
     # same coverage pattern, double the support counts under TTA
     np.testing.assert_array_equal(tta[v][1], 2 * plain[v][1])
     np.testing.assert_allclose(tta[v][0], 2 * plain[v][0], rtol=1e-6)
+
+
+def test_val_mode_returns_mean_map(data, classes, fixture):
+    """test=False: NMS at window[0], mean mAP over tolerances — the
+    criterion='map' epoch-selection path (ref: train_tdeed.py:182-199)."""
+    oracle = _oracle_predict(data, classes)
+    orig_batches = data.batches
+
+    def batches(batch_size, num_workers=8):
+        for batch in orig_batches(batch_size, num_workers):
+            oracle.current_batch = batch
+            yield batch
+
+    data.batches = batches
+    try:
+        score = evaluate(
+            oracle, data, "VAL", classes, printed=False, test=False,
+            augment=False,
+        )
+    finally:
+        data.batches = orig_batches
+    assert isinstance(score, float)
+    assert score == pytest.approx(1.0)
