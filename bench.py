@@ -65,18 +65,22 @@ def main() -> None:
     tx = make_optimizer(8e-4, warmup_steps=100, cosine_steps=10_000)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
 
-    train_step = jax.jit(
-        make_train_step(
-            model,
-            tx,
-            crop_dim=CROP,
-            num_classes_bg=cfg.num_classes_bg,
-            mixup=True,
-            radi_displacement=cfg.radi_displacement,
-            acc_grad_iter=1,
-        ),
-        donate_argnums=(0,),
-    )
+    def build_step(pallas_augment):
+        return jax.jit(
+            make_train_step(
+                model,
+                tx,
+                crop_dim=CROP,
+                num_classes_bg=cfg.num_classes_bg,
+                mixup=True,
+                radi_displacement=cfg.radi_displacement,
+                acc_grad_iter=1,
+                pallas_augment=pallas_augment,
+            ),
+            donate_argnums=(0,),
+        )
+
+    train_step = build_step(None)  # auto: fused Pallas augment on TPU
 
     b = BATCH_PER_CHIP * n_chips
     r = np.random.default_rng(0)
@@ -95,6 +99,18 @@ def main() -> None:
         batch = jax.tree.map(jnp.asarray, batch)
 
     step_rng = jax.random.PRNGKey(1)
+    try:
+        state, metrics = train_step(state, batch, step_rng)
+        jax.block_until_ready(metrics["loss"])
+    except Exception as e:  # toolchain-specific kernel failure: fall back
+        import sys
+
+        print(f"pallas path failed ({type(e).__name__}); falling back to "
+              f"the XLA augmentation chain", file=sys.stderr)
+        state = TrainState.create(
+            variables["params"], variables["batch_stats"], tx
+        )
+        train_step = build_step(False)
     for _ in range(WARMUP_STEPS):
         state, metrics = train_step(state, batch, step_rng)
     jax.block_until_ready(metrics["loss"])

@@ -197,8 +197,7 @@ def main(argv=None) -> None:
         rng, jnp.zeros((1, cfg.clip_len, size, size, 3), jnp.float32), False
     )
 
-    steps_per_epoch = cfg.dataset_len // cfg.batch_size
-    num_steps_per_epoch = steps_per_epoch * cfg.acc_grad_iter  # optim steps
+    steps_per_epoch = cfg.dataset_len // cfg.batch_size  # optimizer steps
     tx = make_optimizer(
         cfg.learning_rate,
         warmup_steps=cfg.warm_up_epochs * steps_per_epoch,

@@ -16,6 +16,8 @@ def test_shipped_configs_all_load():
     root = os.path.join(REPO, "configs")
     n = 0
     for prefix in sorted(os.listdir(root)):
+        if not os.path.isdir(os.path.join(root, prefix)):
+            continue
         for f in sorted(os.listdir(os.path.join(root, prefix))):
             cfg = load_config(f[:-5], root)
             assert cfg.clip_len == 100
