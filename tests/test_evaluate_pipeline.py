@@ -152,3 +152,31 @@ def test_val_mode_returns_mean_map(data, classes, fixture):
         data.batches = orig_batches
     assert isinstance(score, float)
     assert score == pytest.approx(1.0)
+
+
+def test_eval_reader_pads_missing_trailing_frames(fixture):
+    """Eval windows tolerate metadata claiming more frames than exist on
+    disk: missing tails decode as zero padding (ref: frame.py:609-614)."""
+    import json
+
+    meta_path = os.path.join(fixture["data_root"], "finediving", "test.json")
+    with open(meta_path) as fp:
+        metas = json.load(fp)
+    metas = [dict(metas[0], num_frames=metas[0]["num_frames"] + 6)]
+    inflated = os.path.join(fixture["data_root"], "finediving", "_inflated.json")
+    with open(inflated, "w") as fp:
+        json.dump(metas, fp)
+
+    d = VideoWindows(
+        "finediving", inflated, fixture["frame_dir"], CLIP_LEN,
+        overlap_len=0, stride=1,
+    )
+    # the final window covers only missing frames -> skipped gracefully
+    assert d.load_clip(len(d) - 1) is None
+    # the second-to-last covers a partial tail -> zero-padded, static shape
+    partial = d.load_clip(len(d) - 2)
+    assert partial is not None
+    assert partial["frame"].shape[0] == CLIP_LEN
+    import numpy as _np
+
+    assert _np.all(partial["frame"][-1] == 0)  # padded tail rows are zero
