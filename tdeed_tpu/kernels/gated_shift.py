@@ -56,12 +56,17 @@ def gsf_gate(xn, gate_w, gate_b):
     xn: (B, T, H, W, C) post BN+ReLU; gate_w: (3, 3, 3, C//2, 2) flax
     grouped kernel; returns (B, T, H, W, 2).
 
+    The conv runs in the ACTIVATION dtype (bf16 in training — the weights
+    are downcast), not fp32: a tanh-gated signal does not need fp32 conv
+    accumulation beyond what the TPU's fp32 conv accumulators already give,
+    and the fp32 formulation doubled the gate conv's fwd+bwd traffic.
+
     Note: a custom-backward variant exists (gate_conv, bottom of module)
     but measured SLOWER in-graph (134 vs 120 ms/step) — the 27-tap shift
     chains in its VJP do not fuse as well as XLA's native conv gradients
     here; kept for reference."""
     gate = jax.lax.conv_general_dilated(
-        xn.astype(gate_w.dtype), gate_w, (1, 1, 1), "SAME",
+        xn, gate_w.astype(xn.dtype), (1, 1, 1), "SAME",
         dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
         feature_group_count=2,
     ) + gate_b
