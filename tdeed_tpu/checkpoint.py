@@ -71,6 +71,47 @@ def restore_params(path: str) -> Dict[str, Any]:
     return _checkpointer().restore(os.path.abspath(path))
 
 
+def overlay_tree(dst: Dict[str, Any], src: Dict[str, Any], path=()) -> None:
+    """Overlay ``src`` leaves onto ``dst`` in place, validating that every
+    source path exists in the destination with a matching shape."""
+    import numpy as np
+
+    for k, v in src.items():
+        assert k in dst, f"missing {'/'.join(path + (k,))} in model tree"
+        if isinstance(v, dict):
+            overlay_tree(dst[k], v, path + (k,))
+        else:
+            assert tuple(dst[k].shape) == tuple(v.shape), (
+                "/".join(path + (k,)), dst[k].shape, v.shape
+            )
+            dst[k] = np.asarray(v).astype(np.asarray(dst[k]).dtype)
+
+
+def load_backbone(
+    variables: Dict[str, Any], path: str, module: str = "features"
+) -> Dict[str, Any]:
+    """Overlay a pretrained-backbone checkpoint onto freshly-initialized
+    model variables.
+
+    ``path`` is an orbax dir holding ``{'params', 'batch_stats'}`` trees
+    rooted at the backbone (tools/import_timm_weights.py output). The
+    reference always builds its backbone with ImageNet-pretrained timm
+    weights (ref: model/model.py:37-46); this is the explicit TPU-side
+    equivalent. Shift-module ('gs') parameters have no timm counterpart and
+    keep their init. Returns a new variables dict of host numpy arrays.
+    """
+    import numpy as np
+
+    restored = restore_params(path)
+    variables = jax.tree.map(np.asarray, dict(variables))
+    overlay_tree(variables["params"][module], restored["params"], (module,))
+    if restored.get("batch_stats"):
+        overlay_tree(
+            variables["batch_stats"][module], restored["batch_stats"], (module,)
+        )
+    return variables
+
+
 class CheckpointManager:
     """Best/last checkpoint pair + metadata, reference-compatible semantics."""
 

@@ -73,7 +73,11 @@ def build_samplers(cfg, args, classes, classes2=None):
     labels_root = labels_root_for(args.data_root, cfg.dataset)
     decoder = get_decoder(cfg.decoder)
 
-    def _prepare(dataset, frame_dir, store_dir, cls, splits=("train", "val")):
+    # Challenge-training flow: configs may redirect the split files
+    # (train_challenge/val_challenge — ref: data/soccernetball tree).
+    split_names = (cfg.train_split, cfg.val_split)
+
+    def _prepare(dataset, frame_dir, store_dir, cls, splits=split_names):
         dspec = get_spec(dataset)
         lroot = labels_root_for(args.data_root, dataset)
         plans = {}
@@ -100,11 +104,14 @@ def build_samplers(cfg, args, classes, classes2=None):
     plans = _prepare(cfg.dataset, cfg.frame_dir, cfg.store_dir, classes)
     plans2 = None
     if cfg.pretrain is not None:
+        # The pretrain dataset (SN) has no challenge split variants; it
+        # always trains on its plain train/val metadata.
         plans2 = _prepare(
             cfg.pretrain.dataset,
             cfg.pretrain.frame_dir or cfg.frame_dir,
             cfg.pretrain.store_dir or cfg.store_dir,
             classes2,
+            splits=("train", "val"),
         )
     if cfg.store_mode == "store":
         print("Store mode done; rerun with store_mode='load'.")
@@ -121,19 +128,20 @@ def build_samplers(cfg, args, classes, classes2=None):
             dataset_tag=tag,
         )
 
+    tr, va = split_names
     if plans2 is not None:
         # Joint 50/50 sampling with dataset tags (ref: dataset/frame.py:640-663)
         train = JointSampler(
-            _sampler(plans["train"], cfg.dataset, cfg.mixup),
+            _sampler(plans[tr], cfg.dataset, cfg.mixup),
             _sampler(plans2["train"], cfg.pretrain.dataset, cfg.mixup),
         )
         val = JointSampler(
-            _sampler(plans["val"], cfg.dataset, False),
+            _sampler(plans[va], cfg.dataset, False),
             _sampler(plans2["val"], cfg.pretrain.dataset, False),
         )
     else:
-        train = _sampler(plans["train"], cfg.dataset, cfg.mixup)
-        val = _sampler(plans["val"], cfg.dataset, False)
+        train = _sampler(plans[tr], cfg.dataset, cfg.mixup)
+        val = _sampler(plans[va], cfg.dataset, False)
     return train, val, labels_root
 
 
@@ -196,6 +204,13 @@ def main(argv=None) -> None:
     variables = model.init(
         rng, jnp.zeros((1, cfg.clip_len, size, size, 3), jnp.float32), False
     )
+    if cfg.backbone_ckpt:
+        # ImageNet-pretrained backbone (ref: model/model.py:37-46 uses timm
+        # pretrained=True; here provenance is an explicit orbax dir).
+        from tdeed_tpu.checkpoint import load_backbone
+
+        variables = load_backbone(variables, cfg.backbone_ckpt)
+        print(f"Loaded pretrained backbone <- {cfg.backbone_ckpt}")
 
     steps_per_epoch = cfg.dataset_len // cfg.batch_size  # optimizer steps
     tx = make_optimizer(
@@ -271,7 +286,7 @@ def main(argv=None) -> None:
     if cfg.criterion == "map" and cfg.dataset != "soccernet":
         val_data_frames = VideoWindows(
             cfg.dataset,
-            os.path.join(args.data_root, cfg.dataset, "val.json"),
+            os.path.join(args.data_root, cfg.dataset, f"{cfg.val_split}.json"),
             cfg.frame_dir,
             cfg.clip_len,
             overlap_len=0,
@@ -307,20 +322,24 @@ def main(argv=None) -> None:
 
     def run_train_epoch(epoch: int) -> float:
         nonlocal state
-        total, n = 0.0, 0
+        # Loss scalars stay on device until the epoch ends: a float() per
+        # step would block the dispatch pipeline that device_prefetch fills.
+        losses = []
         for batch in placed(train_loader.epoch(epoch)):
             state, metrics = train_step(state, batch, step_rng)
-            total += float(metrics["loss"])
-            n += 1
-        return total / max(1, n)
+            losses.append(metrics["loss"])
+        if not losses:
+            return 0.0
+        return float(np.mean(jax.device_get(losses)))
 
     def run_val_epoch(epoch: int) -> float:
-        total, n = 0.0, 0
+        losses = []
         for batch in placed(val_loader.epoch(epoch)):
             aux = val_step(state, batch)
-            total += float(aux["loss"])
-            n += 1
-        return total / max(1, n)
+            losses.append(aux["loss"])
+        if not losses:
+            return 0.0
+        return float(np.mean(jax.device_get(losses)))
 
     def _train_epochs():
         nonlocal best

@@ -82,7 +82,21 @@ class TDEEDConfig:
     # Joint pretraining (SNB + SN double head)
     pretrain: Optional[PretrainConfig] = None
 
+    # Split selection. The reference hardcodes train/val and expects users
+    # to swap data/<ds>/train.json for the challenge variants by hand; here
+    # the SNB challenge-training flow is first-class: set
+    # train_split="train_challenge", val_split="val_challenge"
+    # (ref: data/soccernetball/{train,val}_challenge.json,
+    # evaluate_tdeed_challenge.py:29).
+    train_split: str = "train"
+    val_split: str = "val"
+
     # --- TPU-specific (no reference counterpart) ---
+    # Orbax dir with ImageNet-pretrained backbone weights, produced by
+    # tools/import_timm_weights.py. The reference always starts from timm
+    # pretrained weights (ref: model/model.py:37-46); here provenance is
+    # explicit: empty -> random init, path -> overlay onto 'features'.
+    backbone_ckpt: str = ""
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     data_axis: str = "data"  # mesh axis name for data parallelism
     checkpoint_backbone: bool = False  # jax.checkpoint the backbone (remat)

@@ -184,9 +184,19 @@ def run_inference(
 
     for batch in data.batches(batch_size):
         frames = np.stack([c["frame"] for c in batch], axis=0)
+        # Pad ragged tails (last window batch / filtered clips) to the
+        # static batch size so predict compiles exactly once per hflip
+        # value; padded rows are sliced off below. Eval BN uses running
+        # stats, so rows are independent and padding cannot leak.
+        n = len(batch)
+        if n < batch_size:
+            frames = np.concatenate(
+                [frames, np.zeros((batch_size - n, *frames.shape[1:]),
+                                  frames.dtype)], axis=0
+            )
         passes = [False, True] if augment else [False]
         for hflip in passes:
-            probs = np.asarray(predict_fn(frames, hflip), np.float32)
+            probs = np.asarray(predict_fn(frames, hflip), np.float32)[:n]
             for i, clip in enumerate(batch):
                 if augment:
                     # TTA path counts support per pass unconditionally

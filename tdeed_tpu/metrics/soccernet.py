@@ -357,7 +357,23 @@ def val_map_sn(
 ) -> float:
     """Validation tight a-mAP for SN via sliding-window inference over the
     val split (TPU-native equivalent of the reference's collected-tensor
-    valMAP_SN path — ref: util/eval.py:422-476, model/model.py:204-274)."""
+    valMAP_SN path — ref: util/eval.py:422-476, model/model.py:204-274).
+
+    DELIBERATE DELTA from the reference. The reference scores the val
+    epoch's *randomly sampled training clips* (whatever windows the val
+    loader happened to draw, concatenated per video in draw order,
+    ref: model/model.py:204-274); this redesign runs the deterministic
+    sliding-window inference used at test time (overlap 0, eval stride) and
+    scores that. Consequences:
+      * the metric here is deterministic across epochs (the reference's
+        varies with the sampler RNG) and covers every video frame exactly
+        once, so epoch-to-epoch comparisons are cleaner;
+      * absolute values differ slightly from the reference's (different
+        window coverage), but best-epoch selection only needs a consistent
+        ordering — both track the same underlying tight a-mAP. The at-1.0
+        oracle fixture (tests/test_soccernet_evaluators.py
+        ::test_val_map_sn_with_oracle) pins the scale.
+    """
     from tdeed_tpu.data.registry import get_spec
     from tdeed_tpu.infer.evaluate import run_inference
     from tdeed_tpu.infer.windows import VideoWindows

@@ -31,6 +31,16 @@ jax.config.update("jax_platforms", "cpu")
 # reference's AMP — ref: model/model.py:265).
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache: full-model compiles take minutes on one CPU
+# core; repeat test runs hit the cache and finish in seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -70,3 +70,65 @@ def test_restore_last_fresh_run(tmp_path, state):
     restored, next_epoch = mgr.restore_last(st)
     assert next_epoch == 0
     assert restored is st
+
+
+def test_load_backbone_overlays_pretrained(tmp_path):
+    """backbone_ckpt path: a saved backbone tree lands in features/* and
+    leaves every non-backbone parameter at its init value
+    (ref: model/model.py:37-46 — timm pretrained=True)."""
+    import orbax.checkpoint as ocp
+
+    from tdeed_tpu.checkpoint import load_backbone
+    from tdeed_tpu.config import TDEEDConfig
+    from tdeed_tpu.models.tdeed import build_model
+
+    cfg = TDEEDConfig(
+        dataset="finediving", num_classes=2, clip_len=4, crop_dim=32,
+        feature_arch="rny002_gsf", n_layers=1, radi_displacement=1,
+    )
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    frames = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnums=(2,))(rng, frames, False)
+
+    # Fabricate a "pretrained" backbone: init values + 1, minus the shift
+    # modules (no timm counterpart — they keep their init).
+    def strip_gs(tree):
+        return {
+            k: strip_gs(v) if isinstance(v, dict) else np.asarray(v) + 1.0
+            for k, v in tree.items()
+            if k != "gs"
+        }
+
+    pre = {
+        "params": strip_gs(jax.device_get(variables["params"]["features"])),
+        "batch_stats": strip_gs(
+            jax.device_get(variables["batch_stats"]["features"])
+        ),
+    }
+    path = str(tmp_path / "backbone")
+    ocp.PyTreeCheckpointer().save(path, pre)
+
+    merged = load_backbone(variables, path)
+
+    stem_before = np.asarray(variables["params"]["features"]["stem"]["conv"]["kernel"])
+    stem_after = np.asarray(merged["params"]["features"]["stem"]["conv"]["kernel"])
+    np.testing.assert_allclose(stem_after, stem_before + 1.0, rtol=1e-6)
+    # BN running stats come along too
+    mean_after = np.asarray(merged["batch_stats"]["features"]["stem"]["bn"]["mean"])
+    np.testing.assert_allclose(
+        mean_after,
+        np.asarray(variables["batch_stats"]["features"]["stem"]["bn"]["mean"]) + 1.0,
+        rtol=1e-6,
+    )
+    # Non-backbone params untouched
+    _tree_equal(merged["params"]["temp_enc"], variables["params"]["temp_enc"])
+    _tree_equal(merged["params"]["pred_fine"], variables["params"]["pred_fine"])
+
+
+def test_config_backbone_ckpt_key():
+    from tdeed_tpu.config import TDEEDConfig
+
+    cfg = TDEEDConfig.from_dict({"backbone_ckpt": "/some/orbax/dir"})
+    assert cfg.backbone_ckpt == "/some/orbax/dir"
+    assert TDEEDConfig().backbone_ckpt == ""

@@ -119,6 +119,76 @@ def test_grad_accumulation_matches_full_batch(setup):
     assert np.isfinite(float(mf["loss"])) and np.isfinite(float(ma["loss"]))
 
 
+def test_real_tdeed_dp_matches_single_device():
+    """The FULL TDEED model (rny002_gsf backbone with GSF batch stats,
+    temp_enc, SGP-Mixer U-Net, both heads) computes identical loss/params/
+    batch-stats on 1 device and on an 8-way batch-sharded mesh.
+
+    Shapes/config mirror __graft_entry__.dryrun_multichip so the 8-way
+    compile shares the persistent cache with the driver's dryrun.
+    """
+    from __graft_entry__ import _build
+
+    from tdeed_tpu.models.tdeed import build_model
+
+    clip_len, crop, size = 4, 32, 40
+    cfg, _ = _build(clip_len, crop)
+    # fp32 end-to-end for an exact 1-vs-8-device comparison (production
+    # runs bf16; equivalence is about sharding, not dtype)
+    cfg.dtype = "float32"
+    model = build_model(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    frames0 = jnp.zeros((1, clip_len, size, size, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        rng, frames0[:, :, :crop, :crop], False
+    )
+    tx = make_optimizer(8e-4, warmup_steps=10, cosine_steps=100)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    step = jax.jit(
+        make_train_step(
+            model, tx, crop_dim=crop, num_classes_bg=cfg.num_classes_bg,
+            mixup=True, radi_displacement=cfg.radi_displacement,
+            acc_grad_iter=1,
+        )
+    )
+
+    b = 16
+    r = np.random.default_rng(0)
+    batch = {
+        "frame": r.integers(0, 256, (b, clip_len, size, size, 3)).astype(np.uint8),
+        "label": r.integers(0, cfg.num_classes_bg, (b, clip_len)).astype(np.int32),
+        "labelD": r.integers(-2, 3, (b, clip_len)).astype(np.float32),
+        "frame2": r.integers(0, 256, (b, clip_len, size, size, 3)).astype(np.uint8),
+        "label2": r.integers(0, cfg.num_classes_bg, (b, clip_len)).astype(np.int32),
+        "labelD2": r.integers(-2, 3, (b, clip_len)).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    s1, m1 = step(state, jax.tree.map(jnp.asarray, batch), key)
+    mesh = make_mesh(8)
+    s8, m8 = step(state, shard_batch(batch, mesh), key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
+    # The all-reduce sums in a different order than the local reduction;
+    # AdamW normalizes gradients, so near-zero params see absolute noise up
+    # to ~2e-5 (a fraction of the 8e-5 warmup step) and relative noise has
+    # no floor — bound both: atol 5e-5 (far below any param scale that
+    # matters), rtol 5e-4 for the rest.
+    for name, t1, t8 in (
+        ("params", s1.params, s8.params),
+        ("batch_stats", s1.batch_stats, s8.batch_stats),
+    ):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            ),
+            jax.device_get(t1),
+            jax.device_get(t8),
+        )
+
+
 def test_val_step_runs_sharded(setup):
     model, state, batch, _ = setup
     val = jax.jit(make_val_step(

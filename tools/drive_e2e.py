@@ -235,6 +235,104 @@ def drive_joint_pretrain(root: str) -> None:
     print("== JOINT PRETRAIN DRIVE OK ==", flush=True)
 
 
+def drive_challenge_training(root: str) -> None:
+    """The SNB challenge-training flow: train on train_challenge /
+    val_challenge split metadata (config keys train_split/val_split), then
+    run label-free challenge inference from the trained best checkpoint
+    (ref: evaluate_tdeed_challenge.py:29-141,
+    config/SoccerNetBall/SoccerNetBall_challenge1.json)."""
+    import numpy as np
+    from PIL import Image
+
+    from tdeed_tpu.cli.evaluate_challenge import main as challenge_main
+    from tdeed_tpu.cli.train import main as train_main
+
+    frame_dir = os.path.join(root, "frames")
+    data_root = os.path.join(root, "data")
+    save_dir = os.path.join(root, "save")
+    store_dir = os.path.join(root, "store")
+    snb_dir = os.path.join(data_root, "soccernetball")
+    labels_root = os.path.join(root, "labels_snb")
+    os.makedirs(snb_dir, exist_ok=True)
+
+    classes = ["PASS", "DRIVE", "HEADER", "HIGH PASS", "OUT", "CROSS",
+               "THROW IN", "SHOT", "BALL PLAYER BLOCK",
+               "PLAYER SUCCESSFUL TACKLE", "FREE KICK", "GOAL"]
+    with open(os.path.join(snb_dir, "class.txt"), "w") as fp:
+        fp.write("\n".join(classes) + "\n")
+    with open(os.path.join(snb_dir, "labels_path.txt"), "w") as fp:
+        fp.write(labels_root)
+
+    r = np.random.default_rng(0)
+
+    def make_game(game, n_frames, labeled=True):
+        vdir = os.path.join(frame_dir, game)
+        os.makedirs(vdir, exist_ok=True)
+        for i in range(n_frames):
+            Image.fromarray(r.integers(0, 256, (24, 32, 3), np.uint8)).save(
+                os.path.join(vdir, f"frame{i}.jpg")
+            )
+        if labeled:
+            os.makedirs(os.path.join(labels_root, game), exist_ok=True)
+            ann = [{"gameTime": "1 - 00:01", "label": "PASS",
+                    "position": "1000"}]
+            with open(os.path.join(labels_root, game, "Labels-ball.json"),
+                      "w") as fp:
+                json.dump({"annotations": ann}, fp)
+        return {"video": game, "num_frames": n_frames}
+
+    for split, games, labeled in (
+        ("train_challenge", ["league/2020/c1", "league/2020/c2"], True),
+        ("val_challenge", ["league/2020/c3"], True),
+        ("challenge", ["league/2020/c4"], False),
+    ):
+        metas = [make_game(g, 60, labeled) for g in games]
+        with open(os.path.join(snb_dir, f"{split}.json"), "w") as fp:
+            json.dump(metas, fp)
+
+    cfg = {
+        "frame_dir": frame_dir, "save_dir": save_dir, "store_dir": store_dir,
+        "store_mode": "store", "batch_size": 2, "clip_len": 8, "crop_dim": -1,
+        "dataset": "soccernetball", "radi_displacement": 1,
+        "epoch_num_frames": 32, "feature_arch": "rny002_gsf",
+        "learning_rate": 1e-3, "mixup": True, "modality": "rgb",
+        "num_classes": 12, "num_epochs": 1, "warm_up_epochs": 1,
+        "start_val_epoch": 99, "temporal_arch": "ed_sgp_mixer", "n_layers": 2,
+        "sgp_ks": 3, "sgp_r": 2, "only_test": False, "criterion": "loss",
+        "num_workers": 2,
+        "train_split": "train_challenge", "val_split": "val_challenge",
+    }
+    cfg_root = os.path.join(root, "configs")
+    os.makedirs(os.path.join(cfg_root, "SoccerNetBall"), exist_ok=True)
+    cfg_path = os.path.join(cfg_root, "SoccerNetBall",
+                            "SoccerNetBall_chtrain.json")
+    with open(cfg_path, "w") as fp:
+        json.dump(cfg, fp)
+
+    argv = ["--model", "SoccerNetBall_chtrain", "--config_root", cfg_root,
+            "--data_root", data_root, "--no_wandb"]
+    print("== CHALLENGE-TRAIN STORE ==", flush=True)
+    try:
+        train_main(argv)
+    except SystemExit as e:
+        assert e.code in (0, None), e.code
+    cfg["store_mode"] = "load"
+    with open(cfg_path, "w") as fp:
+        json.dump(cfg, fp)
+    print("== CHALLENGE-TRAIN LOAD (train on challenge splits) ==", flush=True)
+    train_main(argv)
+    run_dir = os.path.join(save_dir, "SoccerNetBall_chtrain")
+    assert os.path.exists(os.path.join(run_dir, "checkpoint_best")), run_dir
+
+    print("== CHALLENGE inference from trained ckpt ==", flush=True)
+    challenge_main(["--model", "SoccerNetBall_chtrain",
+                    "--config_root", cfg_root, "--data_root", data_root])
+    out = os.path.join(run_dir, "preds", "league/2020/c4",
+                       "results_spotting.json")
+    assert os.path.exists(out), out
+    print("== CHALLENGE-TRAINING DRIVE OK ==", flush=True)
+
+
 def main():
     root1 = tempfile.mkdtemp(prefix="drive_fd_")
     drive_finediving(root1)
@@ -242,6 +340,8 @@ def main():
     drive_snb_challenge(root2)
     root3 = tempfile.mkdtemp(prefix="drive_joint_")
     drive_joint_pretrain(root3)
+    root4 = tempfile.mkdtemp(prefix="drive_chtrain_")
+    drive_challenge_training(root4)
     print("ALL E2E DRIVES OK")
 
 

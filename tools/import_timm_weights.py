@@ -108,20 +108,11 @@ def merge_into_model(variables: Dict, backbone_params: Dict,
     shapes. Returns new variables dict."""
     import jax
 
-    def overlay(dst, src, path=()):
-        for k, v in src.items():
-            assert k in dst, f"missing {'/'.join(path + (k,))} in model tree"
-            if isinstance(v, dict):
-                overlay(dst[k], v, path + (k,))
-            else:
-                assert tuple(dst[k].shape) == tuple(v.shape), (
-                    "/".join(path + (k,)), dst[k].shape, v.shape
-                )
-                dst[k] = v.astype(np.asarray(dst[k]).dtype)
+    from tdeed_tpu.checkpoint import overlay_tree
 
     variables = jax.tree.map(np.asarray, variables)
-    overlay(variables["params"][module], backbone_params, (module,))
-    overlay(variables["batch_stats"][module], backbone_stats, (module,))
+    overlay_tree(variables["params"][module], backbone_params, (module,))
+    overlay_tree(variables["batch_stats"][module], backbone_stats, (module,))
     return variables
 
 
