@@ -298,9 +298,20 @@ def main(argv=None) -> None:
     logger = MetricsLogger(ckpt.save_dir, cfg, enable_wandb=not args.no_wandb)
 
     start_epoch = 0
+    resume_batch = 0
     if args.resume:
         state, start_epoch = ckpt.restore_last(state)
-        print(f"Resumed from epoch {start_epoch}")
+        # Step-level resume: state.step counts consumed batches, and batch b
+        # of epoch e is a pure function of (seed, e, b) — an interrupt-saved
+        # mid-epoch checkpoint continues from the exact next batch (the
+        # reference restarts from scratch, SURVEY.md §5).
+        steps_done = int(state.step)
+        n_batches = (cfg.dataset_len // jax.process_count()) // local_batch
+        if n_batches > 0 and steps_done > 0:
+            start_epoch = steps_done // n_batches
+            resume_batch = steps_done % n_batches
+        print(f"Resumed at epoch {start_epoch}, batch {resume_batch} "
+              f"(step {steps_done})")
     best = ckpt.load_meta().get("best_criterion")
     if best is None:
         best = float("inf") if cfg.criterion == "loss" else 0.0
@@ -320,12 +331,12 @@ def main(argv=None) -> None:
         # double-buffered H2D: decode/assembly overlaps device compute
         return device_prefetch(map(place, iterator), sharding=None, depth=2)
 
-    def run_train_epoch(epoch: int) -> float:
+    def run_train_epoch(epoch: int, start_batch: int = 0) -> float:
         nonlocal state
         # Loss scalars stay on device until the epoch ends: a float() per
         # step would block the dispatch pipeline that device_prefetch fills.
         losses = []
-        for batch in placed(train_loader.epoch(epoch)):
+        for batch in placed(train_loader.epoch(epoch, start_batch=start_batch)):
             state, metrics = train_step(state, batch, step_rng)
             losses.append(metrics["loss"])
         if not losses:
@@ -342,10 +353,11 @@ def main(argv=None) -> None:
         return float(np.mean(jax.device_get(losses)))
 
     def _train_epochs():
-        nonlocal best
+        nonlocal best, resume_batch
         for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.time()
-            train_loss = run_train_epoch(epoch)
+            train_loss = run_train_epoch(epoch, start_batch=resume_batch)
+            resume_batch = 0
             t1 = time.time()
             val_loss = run_val_epoch(epoch)
             t2 = time.time()

@@ -100,7 +100,6 @@ class TDEEDConfig:
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     data_axis: str = "data"  # mesh axis name for data parallelism
     checkpoint_backbone: bool = False  # jax.checkpoint the backbone (remat)
-    pallas_shift: Optional[bool] = None  # EXPERIMENTAL fused GSF kernel (off by default; wrong on current TPU toolchain)
     pallas_augment: Optional[bool] = None  # fused photometric kernel (None=auto)
     decoder: str = "auto"  # 'auto' | 'native' | 'pil' | 'cv2'
 

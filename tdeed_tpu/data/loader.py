@@ -121,7 +121,13 @@ class BatchLoader:
     def __len__(self) -> int:
         return self.num_batches
 
-    def epoch(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(
+        self, epoch: Optional[int] = None, start_batch: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield the epoch's batches, optionally skipping the first
+        ``start_batch`` (step-level resume: batch b of epoch e is a pure
+        function of (seed, e, b), so a resumed run sees exactly the batches
+        the interrupted one would have)."""
         if epoch is None:
             epoch = self._epoch
             self._epoch += 1
@@ -132,7 +138,7 @@ class BatchLoader:
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    for b in range(self.num_batches):
+                    for b in range(start_batch, self.num_batches):
                         if stop.is_set():
                             break
                         rngs = [

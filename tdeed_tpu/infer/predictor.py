@@ -1,0 +1,206 @@
+"""Persistent inference engine: load once, spot events in many videos.
+
+Serving-oriented surface with no reference counterpart (the reference only
+evaluates datasets through ``evaluate()``, ref: util/eval.py:264-419). A
+``SpottingPredictor`` holds the jitted predict step, the compile cache, and
+the checkpoint; ``spot()`` runs sliding-window inference over one video's
+frame directory and returns NMS'd events — so a long-lived process (batch
+job, RPC wrapper, notebook) pays the compile exactly once.
+
+The device path is the same static-shape predict program as evaluation:
+windows are padded to the fixed (batch, clip_len) shape, so every request
+reuses one XLA executable per hflip value.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from tdeed_tpu.config import TDEEDConfig, load_config
+from tdeed_tpu.data.frames import get_decoder, load_window
+from tdeed_tpu.data.registry import get_spec, load_classes
+from tdeed_tpu.infer.evaluate import INFERENCE_BATCH_SIZE
+from tdeed_tpu.infer.nms import (
+    non_maximum_suppression,
+    soft_non_maximum_suppression,
+)
+
+DEFAULT_PAD_LEN = 5
+
+
+class SpottingPredictor:
+    """Event spotting over frame directories with a persistent jitted model.
+
+    Args:
+      cfg: TDEEDConfig (or use ``from_run`` to load config + best ckpt).
+      params/batch_stats: model variables (e.g. from a restored checkpoint).
+      classes: {name: id} with ids 1..N (0 = background).
+    """
+
+    def __init__(self, cfg: TDEEDConfig, params, batch_stats,
+                 classes: Dict[str, int], two_heads=None,
+                 batch_size: int = INFERENCE_BATCH_SIZE):
+        import jax
+
+        from tdeed_tpu.models.tdeed import build_model
+        from tdeed_tpu.train.step import make_predict_step
+        from tdeed_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.cfg = cfg
+        self.spec = get_spec(cfg.dataset)
+        self.classes = classes
+        self.classes_inv = {v: k for k, v in classes.items()}
+        self.batch_size = batch_size
+        self.decoder = get_decoder(cfg.decoder)
+        self._params = params
+        self._batch_stats = batch_stats
+        model = build_model(cfg, two_heads=two_heads)
+        self._predict = jax.jit(
+            make_predict_step(
+                model, crop_dim=cfg.crop_dim,
+                radi_displacement=cfg.radi_displacement, two_heads=two_heads,
+            ),
+            static_argnums=(3,),
+        )
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_run(cls, model_name: str, config_root: str = "configs",
+                 data_root: str = "data", **kw) -> "SpottingPredictor":
+        """Load config + class map + best checkpoint of a finished run."""
+        from tdeed_tpu.checkpoint import CheckpointManager
+
+        cfg = load_config(model_name, config_root)
+        classes = load_classes(
+            os.path.join(data_root, cfg.dataset, "class.txt")
+        )
+        two_heads = None
+        if cfg.pretrain is not None:
+            two_heads = (cfg.num_classes + 1, cfg.pretrain.num_classes + 1)
+        ckpt = CheckpointManager(
+            cfg.save_dir or os.path.join("checkpoints", cfg.model)
+        )
+        restored = ckpt.restore_best()
+        return cls(cfg, restored["params"], restored["batch_stats"],
+                   classes, two_heads=two_heads, **kw)
+
+    # -- inference --------------------------------------------------------
+
+    def _windows(self, num_frames: int) -> List[int]:
+        stride = self.spec.eval_stride
+        clip_len = self.cfg.clip_len
+        overlap = self.spec.eval_overlap_len(clip_len)
+        hop = (clip_len - overlap) * stride
+        return list(
+            range(-DEFAULT_PAD_LEN * stride,
+                  max(1, num_frames - overlap * stride), hop)
+        )
+
+    def spot(
+        self,
+        frame_dir: str,
+        video: str,
+        num_frames: Optional[int] = None,
+        source_info: Optional[dict] = None,
+        nms: str = "snms",  # 'nms' | 'snms' | 'none'
+        threshold: float = 0.01,
+        hflip_tta: Optional[bool] = None,
+    ) -> List[dict]:
+        """Spot events in one video. Returns [{label, frame, score}, ...]
+        with frames in *strided* units (multiply by spec.eval_stride for
+        source frames)."""
+        stride = self.spec.eval_stride
+        clip_len = self.cfg.clip_len
+        if num_frames is None:
+            path, frame0, nd = self.spec.scheme.resolve(
+                frame_dir, video, source_info
+            )
+            num_frames = len(
+                [f for f in os.listdir(path) if f.endswith(".jpg")]
+            ) * stride
+        if hflip_tta is None:
+            hflip_tta = self.spec.hflip_tta
+
+        t_len = math.ceil(num_frames / stride)
+        scores = np.zeros((t_len, len(self.classes) + 1), np.float32)
+        support = np.zeros(t_len, np.int32)
+
+        starts = self._windows(num_frames)
+        bs = 1 if hflip_tta else self.batch_size
+        for ofs in range(0, len(starts), bs):
+            chunk = starts[ofs : ofs + bs]
+            frames, kept = [], []
+            for s in chunk:
+                f = load_window(
+                    self.spec, frame_dir, video, s, s + clip_len * stride,
+                    stride, self.decoder, pad=True, source_info=source_info,
+                )
+                if f is None:
+                    continue
+                if f.shape[0] < clip_len:
+                    f = np.pad(
+                        f, ((0, clip_len - f.shape[0]), (0, 0), (0, 0), (0, 0))
+                    )
+                frames.append(f)
+                kept.append(s // stride)
+            if not frames:
+                continue
+            x = np.stack(frames, axis=0)
+            if x.shape[0] < bs:  # static batch: pad + slice
+                x = np.concatenate(
+                    [x, np.zeros((bs - x.shape[0], *x.shape[1:]), x.dtype)]
+                )
+            for hflip in ([False, True] if hflip_tta else [False]):
+                probs = np.asarray(
+                    self._predict(self._params, self._batch_stats, x, hflip)[1],
+                    np.float32,
+                )[: len(kept)]
+                for i, start in enumerate(kept):
+                    p = probs[i]
+                    if hflip_tta:
+                        rows = None
+                    else:
+                        rows = (p.sum(axis=1) != 0).astype(np.int32)
+                    lo = max(0, start)
+                    p = p[lo - start:]
+                    hi = min(t_len, lo + p.shape[0])
+                    scores[lo:hi] += p[: hi - lo]
+                    support[lo:hi] += (
+                        1 if rows is None else rows[lo - start:][: hi - lo]
+                    )
+
+        support[support == 0] = 1
+        probs = scores / support[:, None]
+        events = []
+        for t in range(t_len):
+            for c in range(1, probs.shape[1]):
+                if probs[t, c] >= threshold:
+                    events.append(
+                        {"label": self.classes_inv[c], "frame": t,
+                         "score": float(probs[t, c])}
+                    )
+        pred = [{"video": video, "events": events,
+                 "fps": 25.0 / stride if self.spec.external_labels else None}]
+        windows = self.spec.windows
+        if nms == "nms":
+            pred = non_maximum_suppression(pred, windows[0], threshold)
+        elif nms == "snms":
+            pred = soft_non_maximum_suppression(pred, windows[1], threshold)
+        return pred[0]["events"]
+
+    def spot_many(self, frame_dir: str, videos: Sequence[dict],
+                  **kw) -> Dict[str, List[dict]]:
+        """Spot events in many videos ({'video', 'num_frames', ...} metas)."""
+        out = {}
+        for meta in videos:
+            out[meta["video"]] = self.spot(
+                frame_dir, meta["video"], meta.get("num_frames"),
+                meta.get("_source_info"), **kw,
+            )
+        return out

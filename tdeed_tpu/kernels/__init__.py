@@ -1,7 +1,8 @@
-"""Pallas TPU kernels for the hot memory-bound ops.
+"""TPU compute-path modules: measured graph-level formulations + Pallas.
 
-Each kernel has a reference XLA path in the corresponding module under
-``tdeed_tpu/models`` / ``tdeed_tpu/ops``; both are kept (SURVEY.md §7 build
-plan step 7) and selected via the ``use_pallas`` flags. Kernels are
-developed and unit-tested in interpreter mode on CPU, benchmarked on TPU.
+``gated_shift`` hosts the GSF math with the factored gate GEMM (the
+measured production formulation); ``augment`` hosts the fused photometric
+Pallas kernel with its XLA reference chain beside it (selected via the
+``pallas_augment`` config knob; interpret-mode tested on CPU, parity- and
+perf-verified on TPU).
 """

@@ -132,7 +132,6 @@ class YBlock(nn.Module):
     shift: Optional[str] = None  # None | 'gsm' | 'gsf'
     clip_len: int = 0
     dtype: Any = None
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -140,7 +139,7 @@ class YBlock(nn.Module):
         if self.shift is not None:
             x = GatedShift(
                 clip_len=self.clip_len, mode=self.shift, dtype=self.dtype,
-                use_pallas=self.use_pallas, name="gs"
+                name="gs"
             )(x, train)
         w = self.width
         out = ConvBN(w, 1, dtype=self.dtype, name="conv1")(x, train)
@@ -173,7 +172,6 @@ class RegNetY(nn.Module):
     shift_mode: Optional[str] = None
     clip_len: int = 0
     dtype: Any = None
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -194,7 +192,6 @@ class RegNetY(nn.Module):
                     shift=self.shift_mode if use_shift else None,
                     clip_len=self.clip_len,
                     dtype=self.dtype,
-                    use_pallas=self.use_pallas,
                     name=f"s{si + 1}_b{bi + 1}",
                 )(x, train)
                 in_w = w

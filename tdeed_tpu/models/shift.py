@@ -113,20 +113,14 @@ class _ConvParams(nn.Module):
 
 class GSF(nn.Module):
     """Gate-Shift-Fuse (ref: model/impl/gsf.py:9-93) — the shipped-config
-    variant.
-
-    Two compute paths over the same parameters (kernels/gated_shift.py):
-      * XLA:    functional ``gsf_core`` composition
-      * Pallas: ``gsf_fused`` single-pass kernel (use_pallas=True; forward
-                fused, backward via the reference VJP)
-    """
+    variant. Compute core in kernels/gated_shift.py (factored gate GEMM +
+    fused post-gate chain; see that module for the measured ladder)."""
 
     dtype: Any = None
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from tdeed_tpu.kernels.gated_shift import gsf_core, gsf_fused
+        from tdeed_tpu.kernels.gated_shift import gsf_core
 
         c = x.shape[-1]
         assert c % 4 == 0, c
@@ -141,19 +135,13 @@ class GSF(nn.Module):
         ch2_w, ch2_b = _ConvParams((3, 3, 2, 1), fan_in=18, name="channel_conv2")()
 
         dt = self.dtype or x.dtype
-        # weights stay fp32: the kernel computes in fp32 and Mosaic only
-        # supports 32-bit scalar extracts
         f32 = jnp.float32
-        args = (
+        out = gsf_core(
             x.astype(dt), xn.astype(dt),
             gate_w.astype(f32), gate_b.astype(f32),
             ch1_w.astype(f32), ch1_b.astype(f32),
             ch2_w.astype(f32), ch2_b.astype(f32),
         )
-        if self.use_pallas:
-            out = gsf_fused(*args, interpret=jax.default_backend() != "tpu")
-        else:
-            out = gsf_core(*args)
         out = out.astype(dt)
         return _interleave_halves(out[..., : c // 2], out[..., c // 2 :])
 
@@ -168,7 +156,6 @@ class GatedShift(nn.Module):
     mode: str  # 'gsm' | 'gsf'
     n_div: int = 4
     dtype: Any = None
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -179,9 +166,7 @@ class GatedShift(nn.Module):
         if self.mode == "gsm":
             head = GSM(dtype=self.dtype, name="gs")(head, train)
         elif self.mode == "gsf":
-            head = GSF(
-                dtype=self.dtype, use_pallas=self.use_pallas, name="gs"
-            )(head, train)
+            head = GSF(dtype=self.dtype, name="gs")(head, train)
         else:
             raise NotImplementedError(self.mode)
         head = head.reshape(n, h, w, fold)

@@ -37,7 +37,6 @@ class TDEED(nn.Module):
     radi_displacement: int = 2
     two_heads: Optional[Sequence[int]] = None  # (C1+1, C2+1) incl. backgrounds
     checkpoint_backbone: bool = False
-    use_pallas: Optional[bool] = None  # fused GSF kernel; None = auto (TPU)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -54,17 +53,12 @@ class TDEED(nn.Module):
 
         # Optionally rematerialize backbone activations on the backward pass
         # (jax.checkpoint): trades FLOPs for HBM on long clips.
-        # None = off for now: the fused GSF kernel compiles in interpret
-        # mode but the 27-tap unrolled gate conv OOMs the Mosaic compiler at
-        # full shapes; opt in explicitly for experiments.
-        use_pallas = bool(self.use_pallas)
         cls = nn.remat(RegNetY, static_argnums=(2,)) if self.checkpoint_backbone else RegNetY
         backbone = cls(
             arch=arch,
             shift_mode=shift_mode,
             clip_len=self.clip_len,
             dtype=self.dtype,
-            use_pallas=use_pallas,
             name="features",
         )
         feat = backbone(frames.reshape(b * t, h, w, c).astype(self.dtype), train)
@@ -120,6 +114,5 @@ def build_model(cfg, two_heads=None) -> TDEED:
         radi_displacement=cfg.radi_displacement,
         two_heads=two_heads,
         checkpoint_backbone=cfg.checkpoint_backbone,
-        use_pallas=cfg.pallas_shift,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )

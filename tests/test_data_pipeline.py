@@ -110,6 +110,19 @@ def test_sampler_and_loader_batches(plan):
     np.testing.assert_array_equal(b["frame"], again[0]["frame"])
 
 
+def test_loader_start_batch_resumes_exactly(plan):
+    """epoch(e, start_batch=k) yields exactly the tail of epoch(e) —
+    the contract step-level --resume relies on."""
+    sampler = ClipSampler(plan, CLIP_LEN, 1, RADI, mixup=False)
+    loader = BatchLoader(sampler, batch_size=2, dataset_len=8, num_workers=2)
+    full = list(loader.epoch(3))
+    tail = list(loader.epoch(3, start_batch=2))
+    assert len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_joint_sampler_tags(plan):
     import random
 

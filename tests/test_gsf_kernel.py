@@ -1,35 +1,14 @@
-"""Fused GSF kernel (interpret mode) vs the functional reference and the
-Flax module, plus gradient path checks."""
+"""GSF compute core (kernels/gated_shift.py) vs the Flax module, plus the
+factored-gate parity and gradient checks."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tdeed_tpu.kernels.gated_shift import gsf_core, gsf_fused
+from tdeed_tpu.kernels.gated_shift import gsf_core
 from tdeed_tpu.models.shift import GSF, _interleave_halves
 
 B, T, H, W, C = 2, 5, 4, 4, 8
-
-
-def _inputs(rng):
-    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
-    xn = jax.nn.relu(x + 0.1)  # stand-in for BN+ReLU output
-    gate_w = jnp.asarray(
-        rng.standard_normal((3, 3, 3, C // 2, 2)).astype(np.float32) * 0.1
-    )
-    gate_b = jnp.asarray(rng.standard_normal((2,)).astype(np.float32) * 0.1)
-    ch1_w = jnp.asarray(rng.standard_normal((3, 3, 2, 1)).astype(np.float32))
-    ch1_b = jnp.asarray(rng.standard_normal((1,)).astype(np.float32))
-    ch2_w = jnp.asarray(rng.standard_normal((3, 3, 2, 1)).astype(np.float32))
-    ch2_b = jnp.asarray(rng.standard_normal((1,)).astype(np.float32))
-    return x, xn, gate_w, gate_b, ch1_w, ch1_b, ch2_w, ch2_b
-
-
-def test_kernel_matches_reference(rng):
-    args = _inputs(rng)
-    want = np.asarray(gsf_core(*args))
-    got = np.asarray(gsf_fused(*args, interpret=True))
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
 def test_reference_matches_flax_module(rng):
@@ -54,45 +33,52 @@ def test_reference_matches_flax_module(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_gradients_flow(rng):
-    args = _inputs(rng)
-
-    def loss_fused(*a):
-        return jnp.sum(gsf_fused(*a, interpret=True) ** 2)
-
-    def loss_ref(*a):
-        return jnp.sum(gsf_core(*a) ** 2)
-
-    g_fused = jax.grad(loss_fused, argnums=(0, 2, 4))(*args)
-    g_ref = jax.grad(loss_ref, argnums=(0, 2, 4))(*args)
-    for a, b in zip(g_fused, g_ref):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
-        )
-
-def test_gate_conv_custom_backward_matches_autodiff(rng):
-    """gate_conv's hand-written VJP vs jax autodiff of the raw conv."""
+def test_gate_factored_matches_conv(rng):
+    """The production factored gate (channel GEMM + 27 shifted adds) is
+    numerically identical to the direct grouped-conv lowering, values and
+    gradients (the factored form is the measured-fast production path)."""
     import jax
     import jax.numpy as jnp
-    from tdeed_tpu.kernels.gated_shift import gate_conv
+    from tdeed_tpu.kernels.gated_shift import gsf_gate, gsf_gate_conv
 
-    xn = jnp.asarray(rng.standard_normal((2, 5, 4, 4, 8)).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4, 2)).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal((2,)).astype(np.float32))
+    xn = jnp.asarray(rng.standard_normal((2, 5, 4, 6, 8)).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.standard_normal((3, 3, 3, 4, 2)).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.standard_normal((2,)).astype(np.float32))
 
-    def raw(xn, w, b):
-        return jax.lax.conv_general_dilated(
-            xn, w, (1, 1, 1), "SAME",
-            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
-            feature_group_count=2,
-        ) + b
+    a = gsf_gate(xn, w, b)
+    c = gsf_gate_conv(xn, w, b)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-6)
 
-    cot = jnp.asarray(rng.standard_normal((2, 5, 4, 4, 2)).astype(np.float32))
+    f1 = lambda *args: jnp.sum(gsf_gate(*args) ** 2)
+    f2 = lambda *args: jnp.sum(gsf_gate_conv(*args) ** 2)
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(xn, w, b)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(xn, w, b)
+    for u, v in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=5e-5)
 
-    out_c, vjp_c = jax.vjp(gate_conv, xn, w, b)
-    out_r, vjp_r = jax.vjp(raw, xn, w, b)
-    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r), rtol=1e-5, atol=1e-5)
-    for a, bb_ in zip(vjp_c(cot), vjp_r(cot)):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(bb_), rtol=2e-4, atol=2e-4
-        )
+
+def test_post_gate_factored_matches_conv(rng):
+    """Production post-gate (unrolled stats convs, activation-dtype math)
+    vs the direct fp32+lax.conv oracle — exact in fp32, grads included."""
+    from tdeed_tpu.kernels.gated_shift import (
+        gsf_post_gate_conv,
+        gsf_post_gate_ref,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 5, 4, 6, 8)).astype(np.float32))
+    gate = jnp.tanh(
+        jnp.asarray(rng.standard_normal((2, 5, 4, 6, 2)).astype(np.float32))
+    )
+    args = [jnp.asarray(0.3 * rng.standard_normal(s).astype(np.float32))
+            for s in [(3, 3, 2, 1), (1,), (3, 3, 2, 1), (1,)]]
+
+    a = gsf_post_gate_ref(x, gate, *args)
+    b = gsf_post_gate_conv(x, gate, *args)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    ga = jax.grad(lambda *z: jnp.sum(gsf_post_gate_ref(*z) ** 2),
+                  argnums=tuple(range(6)))(x, gate, *args)
+    gb = jax.grad(lambda *z: jnp.sum(gsf_post_gate_conv(*z) ** 2),
+                  argnums=tuple(range(6)))(x, gate, *args)
+    for u, v in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=5e-5)

@@ -189,6 +189,29 @@ def test_real_tdeed_dp_matches_single_device():
         )
 
 
+def test_form_global_batch_matches_shard_batch(setup):
+    """form_global_batch (multi-host assembly) produces the same sharded
+    arrays as shard_batch when one process owns the whole batch, and a
+    jitted step consumes it unchanged."""
+    from tdeed_tpu.parallel.mesh import form_global_batch
+
+    model, state, batch, step = setup
+    mesh = make_mesh(8)
+    g = form_global_batch(batch, mesh)
+    s = shard_batch(batch, mesh)
+    for k in batch:
+        assert g[k].shape == batch[k].shape
+        assert g[k].sharding == s[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(g[k]), np.asarray(s[k]))
+
+    key = jax.random.PRNGKey(7)
+    _, m_global = step(state, g, key)
+    _, m_local = step(state, s, key)
+    np.testing.assert_allclose(
+        float(m_global["loss"]), float(m_local["loss"]), rtol=1e-6
+    )
+
+
 def test_val_step_runs_sharded(setup):
     model, state, batch, _ = setup
     val = jax.jit(make_val_step(

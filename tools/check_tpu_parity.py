@@ -1,8 +1,9 @@
-"""On-device parity checks for the Pallas kernels vs their XLA references.
+"""On-device parity checks for the TPU compute paths vs their references.
 
-Run on the real TPU: compares gsf_fused vs gsf_core, the fused photometric
-kernel vs the XLA chain (same params), and sgp_branches vs the jnp
-composition. Exit code 0 = all within tolerance.
+Run on the real TPU: compares the factored GSF gate vs the direct conv
+lowering, the full gsf_core on-device vs CPU-style fp32 math, and the
+fused photometric Pallas kernel vs the XLA chain (same params). Exit
+code 0 = all within tolerance.
 """
 
 from __future__ import annotations
@@ -24,8 +25,11 @@ from tdeed_tpu.kernels.augment import (  # noqa: E402
     N_PARAMS,
     photometric_planar,
 )
-from tdeed_tpu.kernels.gated_shift import gsf_core, gsf_fused  # noqa: E402
-from tdeed_tpu.kernels.sgp import sgp_branches  # noqa: E402
+from tdeed_tpu.kernels.gated_shift import (  # noqa: E402
+    gsf_core,
+    gsf_gate,
+    gsf_gate_conv,
+)
 
 rng = np.random.default_rng(0)
 failures = []
@@ -45,34 +49,37 @@ def check(name, got, want, atol, rtol):
 def main():
     print("backend:", jax.default_backend(), flush=True)
 
-    # --- GSF ----------------------------------------------------------
+    # --- GSF gate: factored (production) vs direct conv -----------------
     B, T, H, W, C = 2, 8, 7, 7, 8
     x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
     xn = jax.nn.relu(x)
     gw = jnp.asarray(rng.standard_normal((3, 3, 3, C // 2, 2)).astype(np.float32) * 0.1)
     gb = jnp.asarray(rng.standard_normal((2,)).astype(np.float32) * 0.1)
+    check(
+        "gsf_gate factored-vs-conv (fp32)",
+        jax.jit(gsf_gate)(xn, gw, gb),
+        jax.jit(gsf_gate_conv)(xn, gw, gb),
+        1e-5, 1e-4,
+    )
+    check(
+        "gsf_gate factored-vs-conv (bf16 in)",
+        jax.jit(gsf_gate)(xn.astype(jnp.bfloat16), gw, gb),
+        jax.jit(gsf_gate_conv)(xn.astype(jnp.bfloat16), gw, gb),
+        2e-2, 2e-2,
+    )
+
+    # --- full GSF core: jitted vs op-by-op on device ---------------------
     c1w = jnp.asarray(rng.standard_normal((3, 3, 2, 1)).astype(np.float32))
     c1b = jnp.asarray(rng.standard_normal((1,)).astype(np.float32))
     c2w = jnp.asarray(rng.standard_normal((3, 3, 2, 1)).astype(np.float32))
     c2b = jnp.asarray(rng.standard_normal((1,)).astype(np.float32))
     args = (x, xn, gw, gb, c1w, c1b, c2w, c2b)
-    # the GSF kernel is hard-guarded off on hardware (known miscompile);
-    # probe it under the experimental flag so this harness keeps tracking
-    # whether a toolchain update fixes it, without failing the suite
-    os.environ["TDEED_EXPERIMENTAL_GSF"] = "1"
-    try:
-        got = gsf_fused(*args, False)
-        got_np = np.asarray(got, np.float32)
-        want_np = np.asarray(gsf_core(*args), np.float32)
-        err = np.max(np.abs(got_np - want_np) / (1e-4 + 1e-3 * np.abs(want_np)))
-        print(f"gsf_fused (experimental): max normalized err {err:.3f} "
-              f"{'OK' if err <= 1 else 'STILL MISCOMPILED (known, guarded off)'}",
-              flush=True)
-    except Exception as e:
-        print(f"gsf_fused (experimental): {type(e).__name__}: {str(e)[:120]}",
-              flush=True)
-    finally:
-        os.environ.pop("TDEED_EXPERIMENTAL_GSF", None)
+    check(
+        "gsf_core jit-vs-eager",
+        jax.jit(gsf_core)(*args),
+        gsf_core(*args),
+        1e-4, 1e-3,
+    )
 
     # --- photometric ---------------------------------------------------
     from tests.test_augment_kernel import _xla_chain
@@ -92,31 +99,6 @@ def main():
     ).astype(jnp.float32)
     want = _xla_chain(jnp.asarray(frames), params)
     check("photometric", got, want, 3e-2, 3e-2)
-
-    # --- SGP branches --------------------------------------------------
-    B2, T2, C2, ks, up = 2, 16, 128, 3, 7
-    x2 = jnp.asarray(rng.standard_normal((B2, T2, C2)).astype(np.float32))
-    phi = jnp.asarray(rng.standard_normal((B2, 1, C2)).astype(np.float32))
-    mk = lambda k: jnp.asarray(rng.standard_normal((k, C2)).astype(np.float32))
-    wfc, bfc, wpsi, bpsi, wcw, bcw, wckw, bckw = (
-        mk(1), mk(1), mk(ks), mk(1), mk(ks), mk(1), mk(up), mk(1)
-    )
-
-    def dw(x, w, b, k):
-        pad = k // 2
-        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
-        out = jnp.broadcast_to(b[0], x.shape) + 0.0
-        for j in range(k):
-            out = out + w[j] * xp[:, j : j + T2, :]
-        return out
-
-    want = (wfc[0] * x2 + bfc[0]) * phi + (
-        dw(x2, wcw, bcw, ks) + dw(x2, wckw, bckw, up)
-    ) * dw(x2, wpsi, bpsi, ks) + x2
-    got = sgp_branches(
-        x2, phi, wfc, bfc, wpsi, bpsi, wcw, bcw, wckw, bckw, ks=ks, up=up
-    )
-    check("sgp_branches", got, want, 1e-4, 1e-3)
 
     if failures:
         print("FAILURES:", failures)

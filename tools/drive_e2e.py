@@ -43,6 +43,21 @@ def drive_finediving(root: str) -> None:
     assert os.path.exists(os.path.join(run_dir, "loss.json"))
     print("== finediving DRIVE OK ==", flush=True)
 
+    # Serving surface: standalone spotting CLI over the trained run
+    from tdeed_tpu.cli.predict import main as predict_main
+
+    out_json = os.path.join(root, "events.json")
+    predict_main([
+        "--model", "FineDiving_tiny", "--config_root", cfg_root,
+        "--data_root", fx["data_root"],
+        "--split", os.path.join(fx["data_root"], "finediving", "test.json"),
+        "--out", out_json,
+    ])
+    with open(out_json) as fp:
+        payload = json.load(fp)
+    assert payload and "events" in payload[0]
+    print("== PREDICT CLI DRIVE OK ==", flush=True)
+
 
 def drive_snb_challenge(root: str) -> None:
     import numpy as np

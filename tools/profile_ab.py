@@ -31,7 +31,7 @@ def main():
     cfg = TDEEDConfig(
         dataset="finediving", num_classes=4, clip_len=T, crop_dim=S,
         feature_arch="rny002_gsf", n_layers=2, sgp_ks=7, sgp_r=4,
-        radi_displacement=2, pallas_shift=False,
+        radi_displacement=2,
     )
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
@@ -111,15 +111,9 @@ def main():
         jax.block_until_ready(m["loss"])
         return (_time.perf_counter() - t0) / (n - 1), float(m["loss"])
 
-    import dataclasses
-
-    model_pallas_gsf = build_model(
-        dataclasses.replace(cfg, pallas_shift=True)
-    )
     variants = [
         ("xla-augment", model, False),
         ("pallas-augment", model, True),
-        ("pallas-augment+gsf", model_pallas_gsf, True),
     ]
     for name, mdl, flag in variants:
         step = jax.jit(
