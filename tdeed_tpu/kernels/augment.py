@@ -107,17 +107,10 @@ def _blur1d_reflect(x: jax.Array, taps, axis: int) -> jax.Array:
     return y
 
 
-def _kernel(p_ref, x_ref, out_ref):
-    # x_ref: (1, 1, 3, H, W) bf16 holding exact 0..255 integers (Mosaic has
-    # no uint8->float cast; the u8->bf16 conversion is a cheap XLA pass);
-    # p_ref: (B, N_PARAMS) SMEM fp32 (full array — SMEM blocks must cover
-    # whole dims), row selected by program id.
-    x = x_ref[0, 0].astype(jnp.float32) / 255.0  # (3, H, W)
+def _photometric_chain(x, p, out_dtype):
+    """The shared post-blend chain: x (3, H, W) fp32 in [0,1], p(i) scalar
+    accessor. Returns (3, H, W) in out_dtype."""
     r, g, b = x[0], x[1], x[2]
-    clip_idx = pl.program_id(0)
-
-    def p(i):
-        return p_ref[clip_idx, i]
 
     # --- hue (gated): rgb->hsv, shift h, hsv->rgb ----------------------
     maxc = jnp.maximum(jnp.maximum(r, g), b)
@@ -200,18 +193,41 @@ def _kernel(p_ref, x_ref, out_ref):
         [(r - mean[0]) / std[0], (g - mean[1]) / std[1], (b - mean[2]) / std[2]],
         axis=0,
     )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    return out.astype(out_dtype)
+
+
+def _to_f32(ref):
+    """Load a (1, 1, 3, H, W) block as fp32 0..255. Direct u8->f32 casts are
+    unsupported by Mosaic, but u8 -> i32 -> f32 lowers fine — so the kernels
+    read uint8 straight from HBM (half the input traffic of the round-1
+    bf16 staging)."""
+    x = ref[0, 0]
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x.astype(jnp.int32).astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
+def _kernel(p_ref, x_ref, out_ref):
+    # x_ref: (1, 1, 3, H, W) uint8 (or float 0..255);
+    # p_ref: (B, N_PARAMS) SMEM fp32 (full array — SMEM blocks must cover
+    # whole dims), row selected by program id.
+    x = _to_f32(x_ref) / 255.0  # (3, H, W)
+    clip_idx = pl.program_id(0)
+
+    def p(i):
+        return p_ref[clip_idx, i]
+
+    out_ref[0, 0] = _photometric_chain(x, p, out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def photometric_planar(
-    frames_planar: jax.Array,  # (B, T, 3, H, W) bf16 0..255 (cropped, flipped)
+    frames_planar: jax.Array,  # (B, T, 3, H, W) uint8/float 0..255 (cropped, flipped)
     params: jax.Array,         # (B, N_PARAMS) fp32 from sample_params
     *,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused /255 + photometric + standardize. Returns (B, T, 3, H, W) bf16."""
-    frames_planar = frames_planar.astype(jnp.bfloat16)
     bsz, t, c, h, w = frames_planar.shape
     assert c == 3
     return pl.pallas_call(
@@ -251,7 +267,11 @@ def train_preprocess_pallas(
     # lane reversals); bf16 carries 0..255 exactly
     flip = jax.random.uniform(kf, (bsz, 1, 1, 1, 1)) < 0.5
     x = jnp.where(flip, x[:, :, :, ::-1, :], x)
-    planar = jnp.transpose(x, (0, 1, 4, 2, 3)).astype(jnp.bfloat16)
+    planar = jnp.transpose(x, (0, 1, 4, 2, 3))
+    if not jnp.issubdtype(planar.dtype, jnp.integer):
+        # mixup blends are fractional: stage as bf16 (integers pass as u8 —
+        # Mosaic reads them via the u8->i32->f32 chain, half the traffic)
+        planar = planar.astype(jnp.bfloat16)
     params = sample_params(kp, bsz)
     out = photometric_planar(planar, params, interpret=interpret)
     return jnp.transpose(out, (0, 1, 3, 4, 2))  # (B, T, H, W, 3) bf16

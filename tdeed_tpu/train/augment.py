@@ -176,6 +176,28 @@ def eval_preprocess(
     return standardize(x)
 
 
+def mixup_labels(
+    labels: jax.Array,
+    labels2: jax.Array,
+    lam: jax.Array,  # (B,)
+    num_classes_bg: int,
+    label_d: Optional[jax.Array] = None,
+    label_d2: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Soft label distributions + mixed displacement targets for given
+    per-sample mixup weights (ref: model/model.py:236-254)."""
+    lam_t = lam.astype(jnp.float32)[:, None]  # (B, 1)
+    soft = jax.nn.one_hot(labels, num_classes_bg) * lam_t[..., None] + jax.nn.one_hot(
+        labels2, num_classes_bg
+    ) * (1.0 - lam_t[..., None])
+    mixed_d = None
+    if label_d is not None:
+        mixed_d = lam_t * label_d.astype(jnp.float32) + (1.0 - lam_t) * label_d2.astype(
+            jnp.float32
+        )
+    return soft, mixed_d
+
+
 def mixup_batch(
     frames: jax.Array,
     labels: jax.Array,
@@ -190,15 +212,16 @@ def mixup_batch(
     (ref: model/model.py:228-254). Returns (mixed_frames, soft_labels
     (B,T,C), mixed_label_d)."""
     b, t = labels.shape
-    lam = jax.random.beta(key, 0.2, 0.2, (b, 1, 1, 1, 1)).astype(jnp.float32)
-    mixed = lam * frames.astype(jnp.float32) + (1.0 - lam) * frames2.astype(jnp.float32)
-    lam_t = lam[:, :, 0, 0, 0]  # (B, 1)
-    soft = jax.nn.one_hot(labels, num_classes_bg) * lam_t[..., None] + jax.nn.one_hot(
-        labels2, num_classes_bg
-    ) * (1.0 - lam_t[..., None])
-    mixed_d = None
-    if label_d is not None:
-        mixed_d = lam_t * label_d.astype(jnp.float32) + (1.0 - lam_t) * label_d2.astype(
-            jnp.float32
-        )
+    lam = sample_mixup_lam(key, b)
+    mixed = lam[:, None, None, None, None] * frames.astype(jnp.float32) + (
+        1.0 - lam[:, None, None, None, None]
+    ) * frames2.astype(jnp.float32)
+    soft, mixed_d = mixup_labels(
+        labels, labels2, lam, num_classes_bg, label_d, label_d2
+    )
     return mixed, soft, mixed_d
+
+
+def sample_mixup_lam(key: jax.Array, batch: int) -> jax.Array:
+    """Per-sample Beta(0.2, 0.2) mixup weights (ref: model/model.py:237)."""
+    return jax.random.beta(key, 0.2, 0.2, (batch,)).astype(jnp.float32)

@@ -56,10 +56,11 @@ def make_train_step(
 
     pallas_augment: use the fused photometric Pallas kernel
     (kernels/augment.py) instead of the XLA chain; None = auto (TPU only).
-    Not used with mixup=True (mixed frames are fp32 blends; the kernel path
-    needs uint8 input) — mixup blending happens before preprocessing either
-    way, so the kernel quantizes the blend to uint8 first, an acceptable
-    (documented) 1/255 rounding divergence.
+    With mixup=True the XLA blend runs before the kernel (XLA fuses
+    blend+flip+transpose into one pass; a kernel-side fused blend was
+    measured WORSE — it doubles the kernel's input reads, see
+    docs/DESIGN.md). The blend is bf16-staged into the kernel, a documented
+    ~1/256 relative rounding of blended pixels.
     """
     if pallas_augment is None:
         pallas_augment = jax.default_backend() == "tpu"
@@ -111,7 +112,7 @@ def make_train_step(
                 label2 = jnp.where(
                     dataset_id[:, None] == 2, label2 + num_classes_bg, label2
                 )
-            frames, soft, mixed_d = augment.mixup_batch(
+            frames, soft, label_d = augment.mixup_batch(
                 mb["frame"],
                 label,
                 mb["frame2"],
@@ -121,11 +122,10 @@ def make_train_step(
                 mb.get("labelD"),
                 mb.get("labelD2"),
             )
-            label_d = mixed_d
+            x = preprocess(frames, k_aug)
         else:
-            frames, soft = mb["frame"], None
-
-        x = preprocess(frames, k_aug)
+            soft = None
+            x = preprocess(mb["frame"], k_aug)
         out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x,
