@@ -159,12 +159,17 @@ class CheckpointManager:
             json.dump(meta["history"], fp, indent=2, sort_keys=True)
 
     def restore_last(self, template: TrainState) -> tuple[TrainState, int]:
-        """(state, next_epoch) — for resume; (template, 0) when nothing saved."""
-        meta = self.load_meta()
+        """(state, next_epoch) — for resume; (template, 0) when nothing saved.
+
+        A ``checkpoint_last`` without meta (interrupt-save before the first
+        ``save_epoch``) still restores: the caller derives the exact
+        epoch/batch position from ``state.step``, so next_epoch falls back
+        to 0 rather than discarding the saved state."""
         last = os.path.join(self.save_dir, LAST)
-        if meta["epoch"] < 0 or not os.path.exists(last):
+        if not os.path.exists(last):
             return template, 0
-        return restore_state(last, template), meta["epoch"] + 1
+        meta = self.load_meta()
+        return restore_state(last, template), max(0, meta["epoch"] + 1)
 
     def restore_best(self) -> Dict[str, Any]:
         return restore_params(os.path.join(self.save_dir, BEST))

@@ -41,6 +41,13 @@ def get_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--n_devices", type=int, default=None,
                         help="limit the data-parallel mesh (default: all local devices)")
     parser.add_argument("--no_wandb", action="store_true")
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="call jax.distributed.initialize() for multi-host DP "
+             "(coordinator/process env from the launcher, e.g. TPU pod "
+             "runtime vars); each host then loads its slice of the global "
+             "batch and form_global_batch stitches the shards",
+    )
     return parser.parse_args(argv)
 
 
@@ -154,6 +161,12 @@ def main(argv=None) -> None:
     cfg = load_config(args.model, args.config_root, acc_grad_iter=args.acc_grad_iter)
 
     import jax
+
+    if args.distributed:
+        # Multi-host bootstrap: coordinator address / process count come
+        # from the environment the launcher sets (TPU pods autodetect).
+        jax.distributed.initialize()
+
     import jax.numpy as jnp
 
     from tdeed_tpu.checkpoint import CheckpointManager
@@ -201,7 +214,9 @@ def main(argv=None) -> None:
     rng = jax.random.PRNGKey(args.seed)
     # init at eval-crop spatial size; shapes are polymorphic in H/W at trace
     size = crop or 224
-    variables = model.init(
+    # jitted init: eager init dispatches every layer's ops separately
+    # (minutes through a remote-compile tunnel — CLAUDE.md rule)
+    variables = jax.jit(model.init, static_argnums=(2,))(
         rng, jnp.zeros((1, cfg.clip_len, size, size, 3), jnp.float32), False
     )
     if cfg.backbone_ckpt:

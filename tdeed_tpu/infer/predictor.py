@@ -57,8 +57,10 @@ class SpottingPredictor:
         self.classes_inv = {v: k for k, v in classes.items()}
         self.batch_size = batch_size
         self.decoder = get_decoder(cfg.decoder)
-        self._params = params
-        self._batch_stats = batch_stats
+        # Checkpoint restores land as host numpy trees; upload once so the
+        # per-window predict calls don't re-transfer the weights.
+        self._params = jax.device_put(params)
+        self._batch_stats = jax.device_put(batch_stats)
         model = build_model(cfg, two_heads=two_heads)
         self._predict = jax.jit(
             make_predict_step(
@@ -97,9 +99,10 @@ class SpottingPredictor:
         clip_len = self.cfg.clip_len
         overlap = self.spec.eval_overlap_len(clip_len)
         hop = (clip_len - overlap) * stride
+        # same enumeration as VideoWindows (ref: dataset/frame.py:409-423)
         return list(
             range(-DEFAULT_PAD_LEN * stride,
-                  max(1, num_frames - overlap * stride), hop)
+                  max(0, num_frames - overlap * stride), hop)
         )
 
     def spot(
@@ -115,21 +118,38 @@ class SpottingPredictor:
         """Spot events in one video. Returns [{label, frame, score}, ...]
         with frames in *strided* units (multiply by spec.eval_stride for
         source frames)."""
+        from tdeed_tpu.infer.evaluate import accumulate_scores
+
         stride = self.spec.eval_stride
         clip_len = self.cfg.clip_len
         if num_frames is None:
+            # Frame files are indexed in SOURCE-frame units (the extractor
+            # renumbers to consecutive indices at the sampled fps), so the
+            # file count IS num_frames — the data-layer stride applies on
+            # top of it. Datasets whose videos share a frame directory
+            # (tennis segments, finegym) cannot be counted this way.
+            if self.cfg.dataset in ("tennis", "finegym"):
+                raise ValueError(
+                    f"{self.cfg.dataset} videos share frame directories; "
+                    "pass num_frames explicitly (it is in the split JSON)"
+                )
             path, frame0, nd = self.spec.scheme.resolve(
                 frame_dir, video, source_info
             )
             num_frames = len(
                 [f for f in os.listdir(path) if f.endswith(".jpg")]
-            ) * stride
+            )
         if hflip_tta is None:
             hflip_tta = self.spec.hflip_tta
 
         t_len = math.ceil(num_frames / stride)
-        scores = np.zeros((t_len, len(self.classes) + 1), np.float32)
-        support = np.zeros(t_len, np.int32)
+        # same accumulator protocol as evaluation (ref: util/eval.py:284-349)
+        pred_dict = {
+            video: (
+                np.zeros((t_len, len(self.classes) + 1), np.float32),
+                np.zeros(t_len, np.int32),
+            )
+        }
 
         starts = self._windows(num_frames)
         bs = 1 if hflip_tta else self.batch_size
@@ -162,19 +182,14 @@ class SpottingPredictor:
                     np.float32,
                 )[: len(kept)]
                 for i, start in enumerate(kept):
-                    p = probs[i]
                     if hflip_tta:
-                        rows = None
+                        rows = None  # TTA counts support per pass
                     else:
-                        rows = (p.sum(axis=1) != 0).astype(np.int32)
-                    lo = max(0, start)
-                    p = p[lo - start:]
-                    hi = min(t_len, lo + p.shape[0])
-                    scores[lo:hi] += p[: hi - lo]
-                    support[lo:hi] += (
-                        1 if rows is None else rows[lo - start:][: hi - lo]
-                    )
+                        rows = (probs[i].sum(axis=1) != 0).astype(np.int32)
+                    accumulate_scores(pred_dict, video, start, probs[i], rows)
 
+        scores, support = pred_dict[video]
+        support = support.copy()
         support[support == 0] = 1
         probs = scores / support[:, None]
         events = []

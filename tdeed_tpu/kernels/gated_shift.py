@@ -70,8 +70,9 @@ def gsf_gate(xn, gate_w, gate_b):
     adds (backward: 27 shifts of the cotangent). Bit-for-bit equal to the
     direct conv in fp32 (tests/test_gsf_kernel.py
     ::test_gate_factored_matches_conv); measured full train step
-    117.0 -> 86.9 ms. The contraction runs in the activation dtype (bf16
-    in training) with the MXU's fp32 accumulation, like the conv did.
+    117.0 -> 86.9 ms. The contraction takes bf16 inputs on the MXU but
+    accumulates in fp32 (preferred_element_type) and the 27 tap adds run
+    in fp32 — one final rounding, like the conv it replaces.
     """
     c = xn.shape[-1]
     ch = c // 2
@@ -79,7 +80,10 @@ def gsf_gate(xn, gate_w, gate_b):
     w_block = jnp.zeros((c, 54), gate_w.dtype)
     w_block = w_block.at[:ch, :27].set(jnp.transpose(taps[..., 0], (1, 0)))
     w_block = w_block.at[ch:, 27:].set(jnp.transpose(taps[..., 1], (1, 0)))
-    z = jnp.einsum("bthwc,cd->bthwd", xn, w_block.astype(xn.dtype))
+    z = jnp.einsum(
+        "bthwc,cd->bthwd", xn, w_block.astype(xn.dtype),
+        preferred_element_type=jnp.float32,
+    )
 
     y1 = sum(_shift3(z[..., i], d) for i, d in enumerate(_TAPS))
     y2 = sum(_shift3(z[..., 27 + i], d) for i, d in enumerate(_TAPS))

@@ -132,3 +132,18 @@ def test_config_backbone_ckpt_key():
     cfg = TDEEDConfig.from_dict({"backbone_ckpt": "/some/orbax/dir"})
     assert cfg.backbone_ckpt == "/some/orbax/dir"
     assert TDEEDConfig().backbone_ckpt == ""
+
+
+def test_restore_last_without_meta(tmp_path, state):
+    """An interrupt-save writes checkpoint_last with no train_meta.json
+    (Ctrl-C before the first save_epoch); --resume must still restore it
+    (the CLI derives the exact position from state.step)."""
+    _, st = state
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    st = st.replace(step=st.step + 7)
+    save_state(os.path.join(mgr.save_dir, "checkpoint_last"), st)
+
+    restored, next_epoch = mgr.restore_last(st.replace(step=st.step * 0))
+    assert next_epoch == 0
+    assert int(restored.step) == 7
+    _tree_equal(restored.params, st.params)

@@ -82,3 +82,40 @@ def test_spot_many_and_nms_modes(run_dir):
                       hflip_tta=False)
     # NMS can only thin the raw event list
     assert len(nmsed) <= len(raw)
+
+
+def test_spot_num_frames_discovery_not_stride_scaled(run_dir, monkeypatch):
+    """Discovered num_frames must equal the frame-file count (source-frame
+    units), not count*stride (review finding: stride>1 datasets inflated)."""
+    from tdeed_tpu.infer import predictor as pred_mod
+
+    fx, cfg_root = run_dir
+    pred = SpottingPredictor.from_run(
+        "FineDiving_tiny", cfg_root, fx["data_root"], batch_size=4
+    )
+    seen = {}
+    orig = pred._windows
+
+    def spy(num_frames):
+        seen["num_frames"] = num_frames
+        return orig(num_frames)
+
+    pred._windows = spy
+    with open(os.path.join(fx["data_root"], "finediving", "train.json")) as fp:
+        meta = json.load(fp)[0]
+    pred.spot(fx["frame_dir"], meta["video"], hflip_tta=False)
+    assert seen["num_frames"] == meta["num_frames"]
+
+
+def test_spot_shared_dir_requires_num_frames(run_dir):
+    """tennis/finegym share frame dirs across videos: discovery must refuse
+    rather than overcount."""
+    import pytest as _pytest
+
+    fx, cfg_root = run_dir
+    pred = SpottingPredictor.from_run(
+        "FineDiving_tiny", cfg_root, fx["data_root"], batch_size=4
+    )
+    pred.cfg.dataset = "tennis"
+    with _pytest.raises(ValueError, match="num_frames"):
+        pred.spot(fx["frame_dir"], "x_0_10")

@@ -77,3 +77,17 @@ def test_tdeed_two_heads():
     variables = mod.init(jax.random.PRNGKey(0), frames, False)
     out = mod.apply(variables, frames, False)
     assert out["logits"].shape == (b, clip_len, 31)  # 13 + 18
+
+
+def test_rny008_gsf_forward():
+    """rny008 (the _big configs' backbone, group width 16) builds and runs
+    with GSF injection; feature dim 768 (ref: model/model.py:37-46)."""
+    mod = RegNetY(arch="rny008", shift_mode="gsf", clip_len=4,
+                  dtype=jnp.float32)
+    x = jnp.ones((4, 32, 32, 3))  # B*T with T=4
+    variables = mod.init(jax.random.PRNGKey(0), x, False)
+    y = mod.apply(variables, x, False)
+    assert y.shape == (4, 768)
+    n = _n_params(variables["params"])
+    # timm regnety_008 trunk ~5.5M + gate/fusion params
+    assert 5.0e6 < n < 6.8e6, n

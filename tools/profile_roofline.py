@@ -63,7 +63,8 @@ def report(name: str, sec: float):
 
 
 def step_time(feature_arch="rny002_gsf", iters=10, seed=0) -> float:
-    """Honest full-train-step seconds (state threaded, batch constant)."""
+    """Honest full-train-step seconds: state threaded through AND inputs
+    cycled over two distinct batches (CLAUDE.md benchmark rule)."""
     cfg = TDEEDConfig(
         dataset="finediving", num_classes=4, clip_len=T, crop_dim=S,
         feature_arch=feature_arch, n_layers=2, sgp_ks=7, sgp_r=4,
@@ -71,14 +72,18 @@ def step_time(feature_arch="rny002_gsf", iters=10, seed=0) -> float:
     )
     model = build_model(cfg)
     r = np.random.default_rng(seed)
-    batch = {
-        "frame": jnp.asarray(r.integers(0, 256, (B, T, 256, 256, 3), np.uint8)),
-        "label": jnp.asarray(r.integers(0, 5, (B, T)).astype(np.int32)),
-        "labelD": jnp.asarray(r.integers(-2, 3, (B, T)).astype(np.float32)),
-        "frame2": jnp.asarray(r.integers(0, 256, (B, T, 256, 256, 3), np.uint8)),
-        "label2": jnp.asarray(r.integers(0, 5, (B, T)).astype(np.int32)),
-        "labelD2": jnp.asarray(r.integers(-2, 3, (B, T)).astype(np.float32)),
-    }
+
+    def make_batch():
+        return {
+            "frame": jnp.asarray(r.integers(0, 256, (B, T, 256, 256, 3), np.uint8)),
+            "label": jnp.asarray(r.integers(0, 5, (B, T)).astype(np.int32)),
+            "labelD": jnp.asarray(r.integers(-2, 3, (B, T)).astype(np.float32)),
+            "frame2": jnp.asarray(r.integers(0, 256, (B, T, 256, 256, 3), np.uint8)),
+            "label2": jnp.asarray(r.integers(0, 5, (B, T)).astype(np.int32)),
+            "labelD2": jnp.asarray(r.integers(-2, 3, (B, T)).astype(np.float32)),
+        }
+
+    batches = [make_batch(), make_batch()]
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.PRNGKey(0), jnp.zeros((1, T, S, S, 3), jnp.float32), False
     )
@@ -89,12 +94,12 @@ def step_time(feature_arch="rny002_gsf", iters=10, seed=0) -> float:
         radi_displacement=2, acc_grad_iter=1,
     ), donate_argnums=(0,))
     k = jax.random.PRNGKey(1)
-    st, m = step(state, batch, k)
-    st, m = step(st, batch, k)
+    st, m = step(state, batches[0], k)
+    st, m = step(st, batches[1], k)
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        st, m = step(st, batch, k)
+    for i in range(iters):
+        st, m = step(st, batches[i % 2], k)
     jax.block_until_ready(m["loss"])
     return (time.perf_counter() - t0) / iters
 
