@@ -105,7 +105,13 @@ def load_clip(
     try:
         from tdeed_tpu.native import jpeg as native_jpeg
 
-        if native_jpeg.available():
+        # The C++ batch path only when the caller actually selected the
+        # native decoder — an explicit cfg.decoder='cv2'/'pil' must be
+        # honored (different libjpeg backends give different IDCT pixels).
+        if (
+            (decoder is None or decoder is native_jpeg.decode)
+            and native_jpeg.available()
+        ):
             h, w = native_jpeg.probe(first_real)
             arr, _ = native_jpeg.decode_batch(slot_paths, h, w)
             return arr

@@ -80,9 +80,12 @@ def process_frame_predictions(
     pred_dict: Dict[str, Tuple[np.ndarray, np.ndarray]],
     high_recall_score_threshold: float = 0.01,
     with_stats: bool = True,
+    with_scores: bool = False,
 ):
     """Support-normalize, argmax, build event lists + frame stats
-    (ref: util/eval.py:87-193)."""
+    (ref: util/eval.py:87-193). pred_scores materializes only when
+    with_scores=True — the reference builds it unconditionally and every
+    caller discards it (~10^7 boxed floats on an SN eval)."""
     classes_inv = {v: k for k, v in classes.items()}
     fps_dict = {video: fps for video, _, fps in data.videos}
 
@@ -104,7 +107,8 @@ def process_frame_predictions(
             for i in range(pred.shape[0]):
                 f1.update(int(label[i]), int(pred[i]))
 
-        pred_scores[video] = scores.tolist()
+        if with_scores:
+            pred_scores[video] = scores.tolist()
         events = []
         events_high_recall = []
         for i in range(pred.shape[0]):
@@ -161,6 +165,45 @@ def accumulate_scores(
         support[start:end] += support_rows
 
 
+def predict_windows(
+    predict_fn: Callable[[np.ndarray, bool], np.ndarray],
+    pred_dict: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    batches,
+    batch_size: int,
+    augment: bool,
+) -> None:
+    """The shared window->accumulator inner loop (evaluation AND serving).
+
+    batches yields lists of {'video', 'start', 'frame'} clips. Semantics per
+    ref util/eval.py:290-349: optional forced-hflip TTA second pass with
+    unconditional support; otherwise support only on rows that received any
+    displaced score (ref: util/eval.py:317,334,349).
+    """
+    for batch in batches:
+        frames = np.stack([c["frame"] for c in batch], axis=0)
+        # Pad ragged tails (last window batch / filtered clips) to the
+        # static batch size so predict compiles exactly once per hflip
+        # value; padded rows are sliced off below. Eval BN uses running
+        # stats, so rows are independent and padding cannot leak.
+        n = len(batch)
+        if n < batch_size:
+            frames = np.concatenate(
+                [frames, np.zeros((batch_size - n, *frames.shape[1:]),
+                                  frames.dtype)], axis=0
+            )
+        passes = [False, True] if augment else [False]
+        for hflip in passes:
+            probs = np.asarray(predict_fn(frames, hflip), np.float32)[:n]
+            for i, clip in enumerate(batch):
+                if augment:
+                    rows = None  # TTA counts support per pass
+                else:
+                    rows = (probs[i].sum(axis=1) != 0).astype(np.int32)
+                accumulate_scores(
+                    pred_dict, clip["video"], int(clip["start"]), probs[i], rows
+                )
+
+
 def run_inference(
     predict_fn: Callable[[np.ndarray, bool], np.ndarray],
     data: VideoWindows,
@@ -181,34 +224,9 @@ def run_inference(
         )
         for video, video_len, _ in data.videos
     }
-
-    for batch in data.batches(batch_size):
-        frames = np.stack([c["frame"] for c in batch], axis=0)
-        # Pad ragged tails (last window batch / filtered clips) to the
-        # static batch size so predict compiles exactly once per hflip
-        # value; padded rows are sliced off below. Eval BN uses running
-        # stats, so rows are independent and padding cannot leak.
-        n = len(batch)
-        if n < batch_size:
-            frames = np.concatenate(
-                [frames, np.zeros((batch_size - n, *frames.shape[1:]),
-                                  frames.dtype)], axis=0
-            )
-        passes = [False, True] if augment else [False]
-        for hflip in passes:
-            probs = np.asarray(predict_fn(frames, hflip), np.float32)[:n]
-            for i, clip in enumerate(batch):
-                if augment:
-                    # TTA path counts support per pass unconditionally
-                    # (ref: util/eval.py:334,349).
-                    rows = None
-                else:
-                    # Rows that received no displaced score have sum 0 and
-                    # carry no support (ref: util/eval.py:317).
-                    rows = (probs[i].sum(axis=1) != 0).astype(np.int32)
-                accumulate_scores(
-                    pred_dict, clip["video"], int(clip["start"]), probs[i], rows
-                )
+    predict_windows(
+        predict_fn, pred_dict, data.batches(batch_size), batch_size, augment
+    )
     return pred_dict
 
 
@@ -246,6 +264,11 @@ def evaluate(
         return float(np.mean(maps))
 
     if challenge:
+        # DELIBERATE parity fix: the reference computes the SNMS list and
+        # prints "Storing predictions Challenge with SNMS" but then stores
+        # the UN-suppressed high-recall variable (ref: util/eval.py:415-418
+        # stores pred_events_high_recall, not ..._store) — an evident slip.
+        # We store what it intended: the SNMS-filtered predictions.
         pred_store = soft_non_maximum_suppression(
             pred_events_hr, windows[1], threshold=0.01
         )

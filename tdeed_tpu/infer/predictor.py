@@ -22,14 +22,17 @@ import numpy as np
 
 from tdeed_tpu.config import TDEEDConfig, load_config
 from tdeed_tpu.data.frames import get_decoder, load_window
-from tdeed_tpu.data.registry import get_spec, load_classes
+from tdeed_tpu.data.registry import (
+    DEFAULT_PAD_LEN,
+    FPS_SN,
+    get_spec,
+    load_classes,
+)
 from tdeed_tpu.infer.evaluate import INFERENCE_BATCH_SIZE
 from tdeed_tpu.infer.nms import (
     non_maximum_suppression,
     soft_non_maximum_suppression,
 )
-
-DEFAULT_PAD_LEN = 5
 
 
 class SpottingPredictor:
@@ -118,7 +121,7 @@ class SpottingPredictor:
         """Spot events in one video. Returns [{label, frame, score}, ...]
         with frames in *strided* units (multiply by spec.eval_stride for
         source frames)."""
-        from tdeed_tpu.infer.evaluate import accumulate_scores
+        from tdeed_tpu.infer.evaluate import predict_windows
 
         stride = self.spec.eval_stride
         clip_len = self.cfg.clip_len
@@ -153,40 +156,31 @@ class SpottingPredictor:
 
         starts = self._windows(num_frames)
         bs = 1 if hflip_tta else self.batch_size
-        for ofs in range(0, len(starts), bs):
-            chunk = starts[ofs : ofs + bs]
-            frames, kept = [], []
-            for s in chunk:
-                f = load_window(
-                    self.spec, frame_dir, video, s, s + clip_len * stride,
-                    stride, self.decoder, pad=True, source_info=source_info,
-                )
-                if f is None:
-                    continue
-                if f.shape[0] < clip_len:
-                    f = np.pad(
-                        f, ((0, clip_len - f.shape[0]), (0, 0), (0, 0), (0, 0))
+
+        def batches():
+            for ofs in range(0, len(starts), bs):
+                out = []
+                for s in starts[ofs : ofs + bs]:
+                    f = load_window(
+                        self.spec, frame_dir, video, s, s + clip_len * stride,
+                        stride, self.decoder, pad=True,
+                        source_info=source_info,
                     )
-                frames.append(f)
-                kept.append(s // stride)
-            if not frames:
-                continue
-            x = np.stack(frames, axis=0)
-            if x.shape[0] < bs:  # static batch: pad + slice
-                x = np.concatenate(
-                    [x, np.zeros((bs - x.shape[0], *x.shape[1:]), x.dtype)]
-                )
-            for hflip in ([False, True] if hflip_tta else [False]):
-                probs = np.asarray(
-                    self._predict(self._params, self._batch_stats, x, hflip)[1],
-                    np.float32,
-                )[: len(kept)]
-                for i, start in enumerate(kept):
-                    if hflip_tta:
-                        rows = None  # TTA counts support per pass
-                    else:
-                        rows = (probs[i].sum(axis=1) != 0).astype(np.int32)
-                    accumulate_scores(pred_dict, video, start, probs[i], rows)
+                    if f is None:
+                        continue
+                    out.append(
+                        {"video": video, "start": s // stride, "frame": f}
+                    )
+                if out:
+                    yield out
+
+        def predict_fn(frames, hflip):
+            return self._predict(
+                self._params, self._batch_stats, frames, hflip
+            )[1]
+
+        # same inner loop as evaluation (pad/TTA/support semantics shared)
+        predict_windows(predict_fn, pred_dict, batches(), bs, hflip_tta)
 
         scores, support = pred_dict[video]
         support = support.copy()
@@ -201,7 +195,7 @@ class SpottingPredictor:
                          "score": float(probs[t, c])}
                     )
         pred = [{"video": video, "events": events,
-                 "fps": 25.0 / stride if self.spec.external_labels else None}]
+                 "fps": FPS_SN / stride if self.spec.external_labels else None}]
         windows = self.spec.windows
         if nms == "nms":
             pred = non_maximum_suppression(pred, windows[0], threshold)

@@ -84,13 +84,9 @@ class VideoWindows:
         )
         if frames is None:
             return None
-        # Short tail windows: zero-pad to the static clip length so every
-        # batch compiles to the same XLA program.
-        if frames.shape[0] < self.clip_len:
-            frames = np.pad(
-                frames,
-                ((0, self.clip_len - frames.shape[0]), (0, 0), (0, 0), (0, 0)),
-            )
+        # load_window(pad=True) accounts for every slot (decoded or
+        # zero-padded), so the static clip length always holds.
+        assert frames.shape[0] == self.clip_len, (frames.shape, self.clip_len)
         return {"video": video, "start": start // self.stride, "frame": frames}
 
     def batches(

@@ -16,7 +16,7 @@ import numpy as np
 
 from tdeed_tpu.utils.io import load_json
 
-FPS_SN = 25
+from tdeed_tpu.data.registry import FPS_SN  # single source (ref: dataset/frame.py:27)
 
 
 def parse_ground_truth(truth: List[dict], labels_root: Optional[str] = None):

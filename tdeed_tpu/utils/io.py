@@ -6,7 +6,7 @@ import json
 import os
 from typing import Any, List
 
-FPS_SN = 25
+from tdeed_tpu.data.registry import FPS_SN  # single source (ref: dataset/frame.py:27)
 
 
 def load_json(path: str) -> Any:
