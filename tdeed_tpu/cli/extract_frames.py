@@ -56,6 +56,11 @@ def get_args(argv=None):
              "effective-fps repair (ref: extract_frames_sn.py:86-99)",
     )
     p.add_argument(
+        "--half_dirs", action="store_true",
+        help="SoccerNet naming: map '<game>/1_720p.mkv' -> '<game>/half1/' "
+             "frame dirs (ref: extract_frames_sn.py:204-209)",
+    )
+    p.add_argument(
         "--game_list",
         default=None,
         help="split JSON (data/<ds>/<split>.json): only extract videos whose "
@@ -92,13 +97,27 @@ def recount_fps(path: str) -> Tuple[float, int]:
     return n / (msec / 1000.0), n
 
 
+def output_name(video_rel: str, half_dirs: bool) -> str:
+    """Relative output dir for a video; with half_dirs, SoccerNet halves
+    '<game>/1_720p.mkv' become '<game>/half1' (ref: extract_frames_sn.py:204-209)."""
+    import re
+
+    name = os.path.splitext(video_rel)[0]
+    if half_dirs:
+        head, _, tail = name.rpartition("/")
+        m = re.fullmatch(r"(\d+)(_720p)?", tail)
+        if m:
+            name = (head + "/" if head else "") + "half" + m.group(1)
+    return name
+
+
 def extract_one(task) -> Optional[dict]:
     """Extract one video. Returns {'video', 'num_frames', 'fps'} metadata."""
-    (video_rel, video_dir, out_dir, sample_fps, size, recalc) = task
+    (video_rel, video_dir, out_dir, sample_fps, size, recalc, half_dirs) = task
     import cv2
 
     src = os.path.join(video_dir, video_rel)
-    name = os.path.splitext(video_rel)[0]
+    name = output_name(video_rel, half_dirs)
     dst = os.path.join(out_dir, name)
     os.makedirs(dst, exist_ok=True)
 
@@ -212,7 +231,8 @@ def main(argv=None) -> None:
         raise SystemExit(f"No videos under {args.video_dir}")
     size = None if args.no_resize else (args.width, args.height)
     tasks = [
-        (v, args.video_dir, args.out_dir, args.sample_fps, size, args.recalc_fps)
+        (v, args.video_dir, args.out_dir, args.sample_fps, size,
+         args.recalc_fps, args.half_dirs)
         for v in videos
     ]
     workers = max(1, min(args.num_workers or 1, len(tasks)))

@@ -135,6 +135,19 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that observes `stop`: a consumer abandoning the
+            generator mid-epoch (exception, break) must not strand the
+            producer in q.put with the queue full — that leaks the thread,
+            the decode pool, and `prefetch` decoded batches per abort."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -146,11 +159,12 @@ class BatchLoader:
                             for i in range(self.batch_size)
                         ]
                         futs = [pool.submit(self.sampler.sample, r) for r in rngs]
-                        q.put(_collate([f.result() for f in futs]))
+                        if not put_or_stop(_collate([f.result() for f in futs])):
+                            return
             except Exception as e:  # propagate to consumer
-                q.put(e)
+                put_or_stop(e)
                 return
-            q.put(None)
+            put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -84,6 +84,13 @@ def deltas_for(metric: str) -> np.ndarray:
     raise ValueError(metric)
 
 
+def _grid_size(framerate: float) -> int:
+    """120-minute grid length. int() AFTER the multiply: val_map_sn uses the
+    fractional framerate 25/stride, and truncating the rate first would
+    shrink the grid below the positions the rasterizers compute."""
+    return int(VECTOR_MINUTES * 60 * framerate)
+
+
 def label2vector(
     annotations: Sequence[dict],
     num_classes: int,
@@ -95,7 +102,7 @@ def label2vector(
 
     +1 visible, -1 'not shown' (ref behaviour: util/eval.py:591-640).
     """
-    size = VECTOR_MINUTES * 60 * int(framerate)
+    size = _grid_size(framerate)
     vec = np.zeros((size, num_classes), np.float64)
     for ann in annotations:
         if ann["label"] not in event_dict:
@@ -105,9 +112,12 @@ def label2vector(
         if "position" in ann:
             frame = int(framerate * int(ann["position"]) / 1000)
         else:
+            # float multiply like the position path — int(framerate)*
+            # would put gameTime-only events on a different grid for
+            # fractional framerates
             mins = int(ann["gameTime"][-5:-3])
             secs = int(ann["gameTime"][-2:])
-            frame = int(framerate) * (secs + 60 * mins)
+            frame = int(framerate * (secs + 60 * mins))
         value = -1.0 if ann.get("visibility") == "not shown" else 1.0
         vec[min(frame, size - 1), event_dict[ann["label"]]] = value
     return vec
@@ -122,7 +132,7 @@ def predictions2vector(
 ) -> np.ndarray:
     """Rasterize predictions of one half; -1 marks 'no prediction'
     (ref behaviour: util/eval.py:643-674)."""
-    size = VECTOR_MINUTES * 60 * int(framerate)
+    size = _grid_size(framerate)
     vec = np.full((size, num_classes), -1.0, np.float64)
     for ann in predictions:
         if ann["label"] not in event_dict:
@@ -253,11 +263,24 @@ def average_map(
         maps_vis.append(float(np.mean(ap_vis)))
         maps_uns.append(float(np.mean(ap_uns)))
 
+    def avg_over_deltas(values: np.ndarray) -> np.ndarray:
+        # Official SoccerNet a-mAP integrates the mAP-vs-delta curve with
+        # the trapezoid rule normalized by (n-1) — NOT a plain mean (the
+        # endpoints carry half weight). Single-delta metrics (at-k) are the
+        # value itself.
+        values = np.asarray(values, np.float64)
+        if values.shape[0] <= 1:
+            return values[0]
+        return np.trapezoid(values, axis=0) / (values.shape[0] - 1)
+
+    # Unshown rescale: only 13 of SoccerNet's 17 classes can carry
+    # 'not shown' annotations; the official scorer scales the unshown
+    # average up by 17/13 to compensate.
     return {
-        "a_mAP": float(np.mean(maps)),
-        "a_mAP_per_class": list(np.mean(per_class, axis=0)),
-        "a_mAP_visible": float(np.mean(maps_vis)),
-        "a_mAP_unshown": float(np.mean(maps_uns)),
+        "a_mAP": float(avg_over_deltas(maps)),
+        "a_mAP_per_class": list(np.atleast_1d(avg_over_deltas(per_class))),
+        "a_mAP_visible": float(avg_over_deltas(maps_vis)),
+        "a_mAP_unshown": float(avg_over_deltas(maps_uns)) * 17.0 / 13.0,
         "a_mAP_per_delta": maps,
     }
 
@@ -267,19 +290,18 @@ def _load_json(path: str):
         return json.load(fp)
 
 
-def evaluate_games(
+def rasterize_games(
     labels_root: str,
     preds_root: str,
     games: Sequence[str],
     label_file: str,
     num_classes: int,
     event_dict: Dict[str, int],
-    metric: str,
     framerate: float,
     halves: Sequence[int] = (1,),
-) -> Dict[str, object]:
-    """Score stored results_spotting.json trees against a label tree
-    (ref behaviour: util/eval.py:496-589)."""
+):
+    """(targets, detections) vectors for a stored prediction tree — shared
+    across metrics so tight+loose don't re-read/re-rasterize every game."""
     targets, detections = [], []
     for game in games:
         labels = _load_json(os.path.join(labels_root, game, label_file))
@@ -295,6 +317,26 @@ def evaluate_games(
                     preds["predictions"], num_classes, event_dict, framerate, half
                 )
             )
+    return targets, detections
+
+
+def evaluate_games(
+    labels_root: str,
+    preds_root: str,
+    games: Sequence[str],
+    label_file: str,
+    num_classes: int,
+    event_dict: Dict[str, int],
+    metric: str,
+    framerate: float,
+    halves: Sequence[int] = (1,),
+) -> Dict[str, object]:
+    """Score stored results_spotting.json trees against a label tree
+    (ref behaviour: util/eval.py:496-589)."""
+    targets, detections = rasterize_games(
+        labels_root, preds_root, games, label_file, num_classes, event_dict,
+        framerate, halves,
+    )
     return average_map(
         targets, detections, framerate=framerate, deltas=deltas_for(metric)
     )
@@ -332,18 +374,16 @@ def evaluate_sn_official(
             for root, _, files in os.walk(preds_root)
             if "results_spotting.json" in files
         )
+    targets, detections = rasterize_games(
+        labels_root, preds_root, games, "Labels-v2.json", 17, SN_EVENTS,
+        framerate=2, halves=(1, 2),
+    )
+    closests = [closest_map(t) for t in targets]
     out = {}
     for metric in ("tight", "loose"):
-        out[metric] = evaluate_games(
-            labels_root,
-            preds_root,
-            games,
-            "Labels-v2.json",
-            num_classes=17,
-            event_dict=SN_EVENTS,
-            metric=metric,
-            framerate=2,
-            halves=(1, 2),
+        out[metric] = average_map(
+            targets, detections, closests, framerate=2,
+            deltas=deltas_for(metric),
         )
         print(f"SN {split} {metric} a-mAP: {out[metric]['a_mAP']:.4f}")
     return out
@@ -405,7 +445,7 @@ def val_map_sn(
         meta = data.videos_meta[data._video_idx[video]]
         half = int(video[-1])
         events = data._events_for(meta)[0]
-        size = VECTOR_MINUTES * 60 * int(framerate)
+        size = _grid_size(framerate)
         t = label2vector(events, 17, SN_EVENTS, framerate, half)
         d = np.full((size, 17), -1.0)
         n = min(size, probs.shape[0])

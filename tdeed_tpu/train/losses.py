@@ -81,13 +81,12 @@ def double_head_ce(
 
 
 def _hard_ce_one(logits, labels, weights):
+    # labels may sit in the OTHER head's range for this sample (masked out
+    # by the where in double_head_ce): clip keeps the gather in-bounds,
+    # then defer to the single public implementation of the CE math.
     labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    w = weights[labels]
-    return jnp.sum(w * nll) / jnp.sum(w)
+    return weighted_ce_hard(logits, labels, weights)
 
 
 def _soft_ce_one(logits, target, weights):
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return jnp.mean(-jnp.sum(weights[None, :] * target * logp, axis=-1))
+    return weighted_ce_soft(logits, target, weights)

@@ -154,3 +154,27 @@ def test_native_decoder_parity(plan):
             assert via_native[i].sum() == 0
         else:
             np.testing.assert_array_equal(via_native[i], _decode_pil(p))
+
+
+def test_loader_abandoned_epoch_releases_producer(plan):
+    """Breaking out of an epoch mid-way must not strand the producer thread
+    in a full-queue put (review finding: leaked thread + decoded batches)."""
+    import threading
+
+    sampler = ClipSampler(plan, CLIP_LEN, 1, RADI, mixup=False)
+    loader = BatchLoader(sampler, batch_size=2, dataset_len=40,
+                         num_workers=2, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        gen = loader.epoch(0)
+        next(gen)  # consume one batch, then abandon
+        gen.close()
+    # give the producers a moment to observe stop and exit
+    import time
+
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1, (
+        threading.active_count(), before
+    )

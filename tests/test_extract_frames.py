@@ -35,7 +35,7 @@ def test_extract_samples_and_fps_sidecar(tmp_path):
                  fps=10.0)
 
     meta = extract_one(
-        ("league/2020/g1.mp4", vid_dir, out_dir, 5.0, (32, 24), False)
+        ("league/2020/g1.mp4", vid_dir, out_dir, 5.0, (32, 24), False, False)
     )
     # stride = 10/5 = 2 -> 15 sampled frames at 5 fps
     assert meta["num_frames"] == 15
@@ -89,3 +89,13 @@ def test_find_videos(tmp_path):
     _write_video(str(tmp_path / "x/y.mp4"), n_frames=2)
     open(tmp_path / "x/readme.txt", "w").close()
     assert find_videos(str(tmp_path)) == ["x/y.mp4"]
+
+
+def test_output_name_half_dirs():
+    from tdeed_tpu.cli.extract_frames import output_name
+
+    g = "england_epl/2014-2015/some game"
+    assert output_name(f"{g}/1_720p.mkv", True) == f"{g}/half1"
+    assert output_name(f"{g}/2.mkv", True) == f"{g}/half2"
+    assert output_name(f"{g}/1_720p.mkv", False) == f"{g}/1_720p"
+    assert output_name("a/clip.mp4", True) == "a/clip"  # non-half untouched

@@ -190,7 +190,9 @@ def test_average_map_unshown_attribution():
     res = average_map([t], [d], framerate=FR, deltas=[1])
     assert res["a_mAP"] == pytest.approx(1.0)
     assert res["a_mAP_visible"] == pytest.approx(1.0)
-    assert res["a_mAP_unshown"] == pytest.approx(1.0)
+    # the official scorer rescales unshown by 17/13 (only 13 of 17 SN
+    # classes can be 'not shown')
+    assert res["a_mAP_unshown"] == pytest.approx(17.0 / 13.0)
 
     # unshown GT missed, only a nearby-but-outside-window FP
     t, d = _vec_from([(500, 1.0), (5000, -1.0)], [(500, 0.9), (5100, 0.8)])
@@ -255,3 +257,14 @@ def test_rasterizers_reference_semantics():
     p = predictions2vector(preds, 2, ev, framerate=2, half=1)
     assert p[21, 0] == 0.7
     assert (p[p != 0.7] == -1.0).all()
+
+
+def test_average_map_trapezoid_over_deltas():
+    """Multi-delta averaging is the trapezoid integral / (n-1), not a plain
+    mean (official SoccerNet a-mAP): a prediction 40 frames from its GT at
+    25 fps matches only for deltas 4,5 of tight -> per-delta mAPs
+    [0,0,0,1,1], trapz/(5-1) = 1.5/4 = 0.375 (mean would be 0.4)."""
+    t, d = _vec_from([(500, 1.0)], [(540, 0.9)])
+    res = average_map([t], [d], framerate=FR, deltas=[1, 2, 3, 4, 5])
+    assert res["a_mAP_per_delta"] == [0.0, 0.0, 0.0, 1.0, 1.0]
+    assert res["a_mAP"] == pytest.approx(0.375)

@@ -2,6 +2,7 @@
 (ref behaviours: util/eval.py:422-674)."""
 
 import numpy as np
+import pytest
 
 from tdeed_tpu.metrics.soccernet import (
     SNB_EVENTS,
@@ -101,4 +102,5 @@ def test_average_map_unshown_bucket():
     targets = [_vec(size, C, [(500, 0, -1.0)])]
     det = _vec(size, C, [(500, 0, 0.9)], fill=-1.0)
     res = average_map(targets, [det], framerate=25, deltas=[1])
-    assert res["a_mAP_unshown"] == 1.0
+    # 17/13: official unshown rescale (13 of 17 SN classes can be unshown)
+    assert res["a_mAP_unshown"] == pytest.approx(17.0 / 13.0)
