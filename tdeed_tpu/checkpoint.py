@@ -35,36 +35,45 @@ def _checkpointer() -> ocp.PyTreeCheckpointer:
 
 
 def save_state(path: str, state: TrainState) -> None:
-    """Atomically write a TrainState checkpoint directory."""
+    """Write a TrainState checkpoint directory, keeping the previous one
+    intact until the new save is complete (write-to-tmp then swap): a crash
+    mid-save must never destroy the only resume point."""
     path = os.path.abspath(path)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     # Orbax restores on the host by default; fetch to host before save so
     # sharded device arrays serialize from one process.
     host_state = jax.device_get(state)
-    _checkpointer().save(path, host_state)
+    _checkpointer().save(tmp, host_state)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
 
 
-def restore_state(path: str, template: Optional[TrainState] = None) -> TrainState:
-    """Restore a TrainState; with a template the tree structure/dtypes are
-    validated and restored arrays adopt the template's shardings."""
+def restore_state(path: str, template: TrainState) -> TrainState:
+    """Restore a TrainState against a template: the tree structure/dtypes
+    are validated and restored arrays adopt the template's shardings. (A
+    template-free restore would hand back raw Orbax containers — optax
+    namedtuple states don't survive it, so it is not offered.)"""
     path = os.path.abspath(path)
-    ckptr = _checkpointer()
-    if template is None:
-        restored = ckptr.restore(path)
-        return TrainState(**restored)
-    restored = ckptr.restore(path, item=jax.device_get(template))
+    restored = _checkpointer().restore(path, item=jax.device_get(template))
     return jax.tree.map(lambda t, r: r, template, restored)
 
 
 def save_params(path: str, params: Any, batch_stats: Any) -> None:
-    """Weights-only checkpoint (the reference's state_dict equivalent)."""
+    """Weights-only checkpoint (the reference's state_dict equivalent);
+    write-to-tmp-then-swap like save_state."""
     path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    _checkpointer().save(
+        tmp, {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
+    )
     if os.path.exists(path):
         shutil.rmtree(path)
-    _checkpointer().save(
-        path, {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
-    )
+    os.replace(tmp, path)
 
 
 def restore_params(path: str) -> Dict[str, Any]:

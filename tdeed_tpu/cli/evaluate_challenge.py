@@ -25,6 +25,10 @@ def get_args(argv=None):
 def main(argv=None) -> None:
     args = get_args(argv)
 
+    from tdeed_tpu.cli.train import seed_everything
+
+    seed_everything(args.seed)  # ref: evaluate_tdeed_challenge.py:38-41
+
     from tdeed_tpu.config import load_config
 
     cfg = load_config(args.model, args.config_root)
@@ -33,6 +37,10 @@ def main(argv=None) -> None:
     )
 
     import jax
+
+    from tdeed_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from tdeed_tpu.checkpoint import CheckpointManager
     from tdeed_tpu.cli.train import labels_root_for
@@ -53,7 +61,9 @@ def main(argv=None) -> None:
     model = build_model(cfg, two_heads=two_heads)
     ckpt = CheckpointManager(cfg.save_dir or os.path.join("checkpoints", cfg.model))
     restored = ckpt.restore_best()
-    params, batch_stats = restored["params"], restored["batch_stats"]
+    # device_put once: numpy trees would re-upload the model every call
+    params = jax.device_put(restored["params"])
+    batch_stats = jax.device_put(restored["batch_stats"])
 
     predict_step = jax.jit(
         make_predict_step(

@@ -169,6 +169,13 @@ def main(argv=None) -> None:
 
     import jax.numpy as jnp
 
+    from tdeed_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    # Multi-host: exactly one process owns checkpoint/metric IO (shared
+    # save_dir would otherwise see racing rmtree/save and N wandb runs).
+    is_main = jax.process_index() == 0
+
     from tdeed_tpu.checkpoint import CheckpointManager
     from tdeed_tpu.data.loader import BatchLoader, device_prefetch
     from tdeed_tpu.data.registry import get_spec, load_classes
@@ -310,10 +317,17 @@ def main(argv=None) -> None:
         )
 
     ckpt = CheckpointManager(cfg.save_dir or os.path.join("checkpoints", cfg.model))
-    logger = MetricsLogger(ckpt.save_dir, cfg, enable_wandb=not args.no_wandb)
+    logger = MetricsLogger(
+        ckpt.save_dir, cfg, enable_wandb=(not args.no_wandb) and is_main
+    )
 
     start_epoch = 0
     resume_batch = 0
+    if not args.resume and not cfg.only_test and is_main:
+        # Fresh run in a reused save_dir: a stale best_criterion/history
+        # would suppress checkpoint_best for the whole run and the final
+        # eval would score the OLD weights.
+        ckpt.save_meta({"epoch": -1, "best_criterion": None, "history": []})
     if args.resume:
         state, start_epoch = ckpt.restore_last(state)
         # Step-level resume: state.step counts consumed batches, and batch b
@@ -327,7 +341,7 @@ def main(argv=None) -> None:
             resume_batch = steps_done % n_batches
         print(f"Resumed at epoch {start_epoch}, batch {resume_batch} "
               f"(step {steps_done})")
-    best = ckpt.load_meta().get("best_criterion")
+    best = ckpt.load_meta().get("best_criterion") if args.resume else None
     if best is None:
         best = float("inf") if cfg.criterion == "loss" else 0.0
 
@@ -379,7 +393,9 @@ def main(argv=None) -> None:
 
             val_map = None
             is_best = False
-            if cfg.criterion == "loss":
+            if not is_main:
+                pass  # only process 0 selects/saves/logs
+            elif cfg.criterion == "loss":
                 is_best = val_loss < best
                 if is_best:
                     best = val_loss
@@ -413,34 +429,49 @@ def main(argv=None) -> None:
                 "train_time": t1 - t0,
                 "val_time": t2 - t1,
             }
-            logger.log_epoch(record)
-            print(
-                f"[epoch {epoch}] train {train_loss:.4f} val {val_loss:.4f}"
-                + (f" val_mAP {val_map:.4f}" if val_map is not None else "")
-                + (" *best*" if is_best else "")
-            )
-            ckpt.save_epoch(state, epoch, record, is_best, best)
+            if is_main:
+                logger.log_epoch(record)
+                print(
+                    f"[epoch {epoch}] train {train_loss:.4f} val {val_loss:.4f}"
+                    + (f" val_mAP {val_map:.4f}" if val_map is not None else "")
+                    + (" *best*" if is_best else "")
+                )
+                ckpt.save_epoch(state, epoch, record, is_best, best)
 
-    if not cfg.only_test or not os.path.exists(
-        os.path.join(ckpt.save_dir, "checkpoint_best")
-    ):
+    from tdeed_tpu.checkpoint import BEST
+
+    if cfg.only_test and not os.path.exists(os.path.join(ckpt.save_dir, BEST)):
+        # Fail fast: only_test with no trained checkpoint would silently
+        # launch a full training run (hours) before the eval the user asked
+        # for; the reference crashes on the missing checkpoint file too.
+        raise SystemExit(
+            f"only_test=True but no {BEST} under {ckpt.save_dir}"
+        )
+    if not cfg.only_test:
         try:
             _train_epochs()
         except KeyboardInterrupt:
             # Graceful interrupt: persist the in-flight state so --resume
             # continues from here (the reference restarts from scratch —
             # SURVEY.md §5 failure-recovery gap).
-            print("interrupted: saving checkpoint_last for --resume")
-            from tdeed_tpu.checkpoint import LAST, save_state
+            if is_main:
+                print("interrupted: saving checkpoint_last for --resume")
+                from tdeed_tpu.checkpoint import LAST, save_state
 
-            save_state(os.path.join(ckpt.save_dir, LAST), state)
+                save_state(os.path.join(ckpt.save_dir, LAST), state)
             raise
 
     # --- test ----------------------------------------------------------
-    if os.path.exists(os.path.join(ckpt.save_dir, "checkpoint_best")):
+    if not is_main:
+        logger.finish()
+        return
+    if os.path.exists(os.path.join(ckpt.save_dir, BEST)):
         restored = ckpt.restore_best()
+        # device_put once: numpy trees in the predict closure would re-upload
+        # the whole model every sliding-window call
         state = state.replace(
-            params=restored["params"], batch_stats=restored["batch_stats"]
+            params=jax.device_put(restored["params"]),
+            batch_stats=jax.device_put(restored["batch_stats"]),
         )
     else:
         # No epoch ever improved the criterion (e.g. num_epochs <

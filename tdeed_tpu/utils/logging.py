@@ -10,14 +10,15 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, Sequence
 
 
 class MetricsLogger:
     def __init__(self, save_dir: str, cfg: Any, enable_wandb: bool = True):
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
-        self.history: List[Dict[str, Any]] = []
+        # (epoch history persistence lives in CheckpointManager's
+        # train_meta.json/loss.json — single writer, no duplicate state)
         self._wandb = None
         if enable_wandb:
             try:
@@ -33,7 +34,6 @@ class MetricsLogger:
                 self._wandb = None
 
     def log_epoch(self, record: Dict[str, Any]) -> None:
-        self.history.append(record)
         if self._wandb is not None:
             self._wandb.log(
                 {
