@@ -113,8 +113,15 @@ def load_clip(
             and native_jpeg.available()
         ):
             h, w = native_jpeg.probe(first_real)
-            arr, _ = native_jpeg.decode_batch(slot_paths, h, w)
-            return arr
+            arr, n_ok = native_jpeg.decode_batch(slot_paths, h, w)
+            expected = sum(1 for p in slot_paths if p is not None)
+            if n_ok == expected:
+                return arr
+            # A present frame failed to decode (corrupt stream, or a
+            # mid-clip resolution change vs the probed first frame): the
+            # C++ path zero-fills it silently, indistinguishable from
+            # padding — fall through to the per-frame decoder, which
+            # raises a proper error for the offending file.
     except Exception:
         pass
 

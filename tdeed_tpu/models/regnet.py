@@ -77,11 +77,18 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # Explicit symmetric padding, NOT "SAME": at stride 2 on even
+        # inputs XLA's SAME pads (0,1) while torch/timm pad (1,1) — the
+        # sampled grids differ (verified: max abs diff ~1.7 on random
+        # weights) and imported timm checkpoints would be silently
+        # misaligned. Symmetric k//2 matches torch exactly at both
+        # strides with identical output shapes.
+        k = self.kernel_size
         x = nn.Conv(
             features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
+            kernel_size=(k, k),
             strides=self.strides,
-            padding="SAME",
+            padding=((k // 2, k // 2), (k // 2, k // 2)),
             feature_group_count=self.groups,
             use_bias=False,
             kernel_init=_conv_init,

@@ -119,6 +119,9 @@ def decode_batch(
     if out is None:
         out = np.empty((n, height, width, 3), np.uint8)
     assert out.shape == (n, height, width, 3) and out.dtype == np.uint8
+    # the C++ writer assumes a dense (N, H, W, 3) layout from the base
+    # pointer — a strided view would scatter frames over unrelated memory
+    assert out.flags["C_CONTIGUOUS"], "out must be C-contiguous"
     arr = (ctypes.c_char_p * n)(
         *[p.encode() if p is not None else None for p in paths]
     )

@@ -17,9 +17,12 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(logdir: str, *, host_tracer_level: int = 2):
-    """Capture a jax.profiler trace of the enclosed region."""
-    jax.profiler.start_trace(logdir, host_tracer_level=host_tracer_level)
+def trace(logdir: str):
+    """Capture a jax.profiler trace of the enclosed region.
+
+    (jax 0.9 start_trace takes no tracer-level kwargs — passing one raised
+    TypeError and made every capture dead code; review finding.)"""
+    jax.profiler.start_trace(logdir)
     try:
         yield
     finally:
@@ -48,7 +51,12 @@ class StepTimer:
         self.samples.append(time.perf_counter() - t0)
 
     def summary(self, skip_warmup: int = 2) -> Dict[str, float]:
-        s = sorted(self.samples[skip_warmup:]) or [0.0]
+        s = sorted(self.samples[skip_warmup:])
+        if not s:
+            # no measured steps: report emptiness, never a fake 0.0s step
+            return {"steps": 0, "mean_s": float("nan"), "p50_s": float("nan"),
+                    "p90_s": float("nan"), "min_s": float("nan"),
+                    "max_s": float("nan")}
         n = len(s)
         return {
             "steps": n,
@@ -61,7 +69,13 @@ class StepTimer:
 
 
 def time_fn(fn, *args, warmup: int = 2, iters: int = 10, **kwargs) -> float:
-    """Mean seconds/call of a jitted fn (blocks on the result)."""
+    """Mean seconds/call of a jitted fn (blocks on the result).
+
+    WARNING (axon runtime): bit-identical dispatches are deduplicated and
+    even independent varying dispatches can measure wrong — the caller
+    must make fn's inputs a dependency chain (consume the previous output)
+    or the numbers are untrustworthy; see docs/DESIGN.md measurement
+    gotchas and tools/profile_roofline.py for the honest pattern."""
     out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)

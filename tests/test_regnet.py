@@ -91,3 +91,30 @@ def test_rny008_gsf_forward():
     n = _n_params(variables["params"])
     # timm regnety_008 trunk ~5.5M + gate/fusion params
     assert 5.0e6 < n < 6.8e6, n
+
+
+def test_stride2_conv_matches_torch_padding():
+    """Downsampling convs must sample torch/timm's grid: explicit (1,1)
+    padding, not XLA 'SAME' which pads (0,1) on even inputs (review
+    finding — timm-imported weights were silently misaligned)."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from tdeed_tpu.models.regnet import ConvBN
+
+    r = np.random.default_rng(0)
+    x = r.normal(size=(1, 8, 8, 3)).astype(np.float32)
+    w = (r.normal(size=(3, 3, 3, 4)) * 0.1).astype(np.float32)
+
+    mod = ConvBN(4, 3, strides=2, act=False, dtype=jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    variables["params"]["conv"]["kernel"] = jnp.asarray(w)
+    y = mod.apply(variables, jnp.asarray(x), False)  # BN is identity at init
+
+    yt = F.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(3, 2, 0, 1),
+        stride=2, padding=1,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(y), yt, atol=2e-5)
