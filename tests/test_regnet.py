@@ -118,3 +118,46 @@ def test_stride2_conv_matches_torch_padding():
         stride=2, padding=1,
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(y), yt, atol=2e-5)
+
+
+def test_yblock_matches_torch_oracle():
+    """Full RegNet-Y block (conv1 -> grouped stride-2 conv2 -> SE -> conv3
+    -> downsample residual) vs a torch re-derivation with identical
+    weights — pins padding grids, SE reduction width, grouping, and the
+    residual/ReLU order in one shot."""
+    import numpy as np
+    import torch
+
+    from tests.torch_oracles import OracleYBlock
+    from tdeed_tpu.models.regnet import YBlock
+
+    in_w, w, stride, gs = 8, 16, 2, 8
+    r = np.random.default_rng(0)
+    x = r.normal(size=(2, 8, 8, in_w)).astype(np.float32)
+
+    blk = YBlock(width=w, in_width=in_w, stride=stride, group_size=gs,
+                 dtype=jnp.float32)
+    variables = blk.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    y = np.asarray(blk.apply(variables, jnp.asarray(x), False))
+
+    o = OracleYBlock(in_w, w, stride, gs).eval()
+    p = variables["params"]
+
+    def k(t):  # flax (kh,kw,cin/g,cout) -> torch (cout,cin/g,kh,kw)
+        return torch.from_numpy(np.transpose(np.asarray(t), (3, 2, 0, 1)))
+
+    with torch.no_grad():
+        o.conv1.weight.copy_(k(p["conv1"]["conv"]["kernel"]))
+        o.conv2.weight.copy_(k(p["conv2"]["conv"]["kernel"]))
+        o.conv3.weight.copy_(k(p["conv3"]["conv"]["kernel"]))
+        o.down.weight.copy_(k(p["downsample"]["conv"]["kernel"]))
+        o.se_fc1.weight.copy_(k(p["se"]["fc1"]["kernel"]))
+        o.se_fc1.bias.copy_(torch.from_numpy(np.asarray(p["se"]["fc1"]["bias"])))
+        o.se_fc2.weight.copy_(k(p["se"]["fc2"]["kernel"]))
+        o.se_fc2.bias.copy_(torch.from_numpy(np.asarray(p["se"]["fc2"]["bias"])))
+        for tb, fb in ((o.bn1, "conv1"), (o.bn2, "conv2"), (o.bn3, "conv3"),
+                       (o.bn_down, "downsample")):
+            tb.weight.copy_(torch.from_numpy(np.asarray(p[fb]["bn"]["scale"])))
+            tb.bias.copy_(torch.from_numpy(np.asarray(p[fb]["bn"]["bias"])))
+        yt = o(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(y, yt.numpy(), atol=3e-5)

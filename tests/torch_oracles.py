@@ -180,3 +180,41 @@ class OracleGSF(nn.Module):
             dim=1,
         )
         return y.permute(0, 2, 1, 3, 4).contiguous().view(b * t, *shape)
+
+
+class OracleYBlock(nn.Module):
+    """RegNet-Y bottleneck block (bottle_ratio 1) re-derived from the timm
+    topology the reference builds (ref: model/model.py:37-46): conv1 1x1 ->
+    conv2 3x3 grouped (stride) -> SE (rd from block INPUT width) -> conv3
+    1x1 -> residual (+1x1 downsample when shape changes), BN after every
+    conv, ReLU except after conv3 (applied post-residual)."""
+
+    def __init__(self, in_w, w, stride, group_size, se_ratio=0.25):
+        super().__init__()
+        groups = w // group_size
+        self.conv1 = nn.Conv2d(in_w, w, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(w)
+        self.conv2 = nn.Conv2d(w, w, 3, stride=stride, padding=1,
+                               groups=groups, bias=False)
+        self.bn2 = nn.BatchNorm2d(w)
+        rd = int(round(in_w * se_ratio))
+        self.se_fc1 = nn.Conv2d(w, rd, 1)
+        self.se_fc2 = nn.Conv2d(rd, w, 1)
+        self.conv3 = nn.Conv2d(w, w, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(w)
+        self.down = None
+        if stride != 1 or in_w != w:
+            self.down = nn.Conv2d(in_w, w, 1, stride=stride, bias=False)
+            self.bn_down = nn.BatchNorm2d(w)
+
+    def forward(self, x):
+        sc = x
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = torch.relu(self.bn2(self.conv2(out)))
+        s = out.mean(dim=(2, 3), keepdim=True)
+        s = torch.sigmoid(self.se_fc2(torch.relu(self.se_fc1(s))))
+        out = out * s
+        out = self.bn3(self.conv3(out))
+        if self.down is not None:
+            sc = self.bn_down(self.down(sc))
+        return torch.relu(out + sc)
