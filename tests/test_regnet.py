@@ -161,3 +161,65 @@ def test_yblock_matches_torch_oracle():
             tb.bias.copy_(torch.from_numpy(np.asarray(p[fb]["bn"]["bias"])))
         yt = o(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
     np.testing.assert_allclose(y, yt.numpy(), atol=3e-5)
+
+
+def test_full_trunk_matches_torch_oracle():
+    """The COMPLETE rny002 trunk (stem + 13 blocks, no shift) vs the torch
+    oracle with identical weights: end-to-end backbone function parity —
+    the guarantee the timm importer relies on."""
+    import numpy as np
+    import torch
+
+    from tests.torch_oracles import OracleRegNetTrunk
+    from tdeed_tpu.models.regnet import ARCH_PARAMS, RegNetY, generate_stages
+
+    p_ = ARCH_PARAMS["rny002"]
+    widths, depths, groups = generate_stages(
+        p_["w0"], p_["wa"], p_["wm"], p_["depth"], p_["group_size"]
+    )
+
+    r = np.random.default_rng(1)
+    x = r.normal(size=(2, 64, 64, 3)).astype(np.float32)
+
+    net = RegNetY(arch="rny002", dtype=jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    y = np.asarray(net.apply(variables, jnp.asarray(x), False))
+
+    o = OracleRegNetTrunk(widths, depths, groups).eval()
+    p = variables["params"]
+
+    def k(t):
+        return torch.from_numpy(np.transpose(np.asarray(t), (3, 2, 0, 1)))
+
+    def copy_bn(tb, node):
+        tb.weight.copy_(torch.from_numpy(np.asarray(node["scale"])))
+        tb.bias.copy_(torch.from_numpy(np.asarray(node["bias"])))
+
+    with torch.no_grad():
+        o.stem.weight.copy_(k(p["stem"]["conv"]["kernel"]))
+        copy_bn(o.stem_bn, p["stem"]["bn"])
+        bi_flat = 0
+        for si, d in enumerate(depths, start=1):
+            for bi in range(1, d + 1):
+                bp = p[f"s{si}_b{bi}"]
+                ob = o.blocks[bi_flat]
+                ob.conv1.weight.copy_(k(bp["conv1"]["conv"]["kernel"]))
+                ob.conv2.weight.copy_(k(bp["conv2"]["conv"]["kernel"]))
+                ob.conv3.weight.copy_(k(bp["conv3"]["conv"]["kernel"]))
+                copy_bn(ob.bn1, bp["conv1"]["bn"])
+                copy_bn(ob.bn2, bp["conv2"]["bn"])
+                copy_bn(ob.bn3, bp["conv3"]["bn"])
+                ob.se_fc1.weight.copy_(k(bp["se"]["fc1"]["kernel"]))
+                ob.se_fc1.bias.copy_(
+                    torch.from_numpy(np.asarray(bp["se"]["fc1"]["bias"]))
+                )
+                ob.se_fc2.weight.copy_(k(bp["se"]["fc2"]["kernel"]))
+                ob.se_fc2.bias.copy_(
+                    torch.from_numpy(np.asarray(bp["se"]["fc2"]["bias"]))
+                )
+                if ob.down is not None:
+                    ob.down.weight.copy_(k(bp["downsample"]["conv"]["kernel"]))
+                    copy_bn(ob.bn_down, bp["downsample"]["bn"])
+                bi_flat += 1
+        yt = o(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(y, yt, atol=2e-4)

@@ -218,3 +218,26 @@ class OracleYBlock(nn.Module):
         if self.down is not None:
             sc = self.bn_down(self.down(sc))
         return torch.relu(out + sc)
+
+
+class OracleRegNetTrunk(nn.Module):
+    """Whole RegNet-Y trunk (stem + stages of OracleYBlock) with the
+    generate_stages topology, global-average-pooled features."""
+
+    def __init__(self, widths, depths, groups, stem_w=32):
+        super().__init__()
+        self.stem = nn.Conv2d(3, stem_w, 3, stride=2, padding=1, bias=False)
+        self.stem_bn = nn.BatchNorm2d(stem_w)
+        blocks = []
+        in_w = stem_w
+        for w, d, g in zip(widths, depths, groups):
+            for bi in range(d):
+                blocks.append(OracleYBlock(in_w, w, 2 if bi == 0 else 1, g))
+                in_w = w
+        self.blocks = nn.ModuleList(blocks)
+
+    def forward(self, x):
+        x = torch.relu(self.stem_bn(self.stem(x)))
+        for b in self.blocks:
+            x = b(x)
+        return x.mean(dim=(2, 3))
