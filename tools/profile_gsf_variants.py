@@ -43,7 +43,6 @@ def timed_fwd_bwd(variant: str) -> float:
 
     class VariantGSF(nn.Module):
         dtype: Any = jnp.bfloat16
-        use_pallas: bool = False
 
         @nn.compact
         def __call__(self, x, train: bool):
