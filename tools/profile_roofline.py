@@ -62,13 +62,14 @@ def report(name: str, sec: float):
           flush=True)
 
 
-def step_time(feature_arch="rny002_gsf", iters=10, seed=0) -> float:
+def step_time(feature_arch="rny002_gsf", iters=10, seed=0,
+              checkpoint_backbone=False, acc_grad_iter=1) -> float:
     """Honest full-train-step seconds: state threaded through AND inputs
     cycled over two distinct batches (CLAUDE.md benchmark rule)."""
     cfg = TDEEDConfig(
         dataset="finediving", num_classes=4, clip_len=T, crop_dim=S,
         feature_arch=feature_arch, n_layers=2, sgp_ks=7, sgp_r=4,
-        radi_displacement=2,
+        radi_displacement=2, checkpoint_backbone=checkpoint_backbone,
     )
     model = build_model(cfg)
     r = np.random.default_rng(seed)
@@ -91,7 +92,7 @@ def step_time(feature_arch="rny002_gsf", iters=10, seed=0) -> float:
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
     step = jax.jit(make_train_step(
         model, tx, crop_dim=S, num_classes_bg=5, mixup=True,
-        radi_displacement=2, acc_grad_iter=1,
+        radi_displacement=2, acc_grad_iter=acc_grad_iter,
     ), donate_argnums=(0,))
     k = jax.random.PRNGKey(1)
     st, m = step(state, batches[0], k)
@@ -225,6 +226,12 @@ def run_variant(name: str, iters: int) -> None:
         with patched(p=(gs_mod, "gsf_post_gate_ref",
                         post_gate_variant(stats_factored=True, bf16=True))):
             report("gsf, stats unrolled + bf16", step_time(iters=iters))
+    elif name == "remat":
+        report("remat backbone (checkpoint)", step_time(
+            iters=iters, checkpoint_backbone=True))
+    elif name == "acc2":
+        report("acc_grad_iter=2 (scan)", step_time(
+            iters=iters, acc_grad_iter=2))
     elif name == "noaug":
         import tdeed_tpu.kernels.augment as aug_mod
 
