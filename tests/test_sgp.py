@@ -131,3 +131,47 @@ def test_ed_sgp_mixer_shapes():
     # 2L+1 SGP blocks + L mixers exist
     names = set(params.keys())
     assert {"sgp_0", "sgp_1", "sgp_2", "sgp_3", "sgp_4", "mixer_0", "mixer_1"} <= names
+
+
+def test_ed_sgp_mixer_full_unet_matches_oracle():
+    """The COMPLETE temporal U-Net vs the torch composition with identical
+    weights (ref wiring: model/modules.py:58-87 — down SGP+pool levels,
+    bottleneck, back-to-front mixer+SGP decoder with stored skips). Pins
+    the pooling plans, skip ordering, and align_corners upsample in one
+    assertion."""
+    import math
+
+    torch.manual_seed(7)
+    T, L = 25, 2
+    lens = [math.ceil(T / (2 ** i)) for i in range(L + 1)]
+
+    blocks = [OracleSGPBlock(C, KS, K).eval() for _ in range(2 * L + 1)]
+    mixers = [OracleSGPMixer(C, KS, K, t_size=lens[i]).eval()
+              for i in range(L)]
+    pools = [torch.nn.AdaptiveMaxPool1d(lens[i + 1]) for i in range(L)]
+
+    x0 = np.random.default_rng(2).standard_normal((2, T, C)).astype(np.float32)
+
+    with torch.no_grad():
+        x = torch.from_numpy(x0).permute(0, 2, 1)
+        skips = []
+        for i in range(L):
+            x = blocks[i](x)
+            skips.append(x)
+            x = pools[i](x)
+        x = blocks[L](x)
+        for i in range(L):
+            x = mixers[-(i + 1)](x, skips[-(i + 1)])
+            x = blocks[L + i + 1](x)
+        want = x.permute(0, 2, 1).numpy()
+
+    params = {}
+    for i, b in enumerate(blocks):
+        params[f"sgp_{i}"] = sgp_params_from_oracle(b)
+    for i, m in enumerate(mixers):
+        params[f"mixer_{i}"] = mixer_params_from_oracle(m)
+
+    mod = EDSGPMixer(clip_len=T, num_layers=L, kernel_size=KS, k=K,
+                     dtype=jnp.float32)
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x0)))
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
