@@ -45,13 +45,56 @@ def parse_ground_truth(truth: List[dict], labels_root: Optional[str] = None):
 
 
 def get_predictions(pred: List[dict], label: Optional[str] = None):
-    flat = []
+    """Flatten per-video event lists into score-descending (video, frame, score)
+    rows. A stable argsort on -score preserves flattening order among ties,
+    which the greedy matcher's claim order depends on."""
+    videos: List[str] = []
+    frames: List[int] = []
+    scores: List[float] = []
     for x in pred:
         for e in x["events"]:
             if label is None or e["label"] == label:
-                flat.append((x["video"], e["frame"], e["score"]))
-    flat.sort(key=lambda x: x[-1], reverse=True)
-    return flat
+                videos.append(x["video"])
+                frames.append(e["frame"])
+                scores.append(e["score"])
+    order = np.argsort(-np.asarray(scores, dtype=np.float64), kind="stable")
+    return [(videos[k], frames[k], scores[k]) for k in order]
+
+
+def _greedy_match(
+    pred: Sequence[Tuple[str, int, float]],
+    truth: Dict[str, List[int]],
+    tolerance: int,
+) -> np.ndarray:
+    """Boolean hit mask over score-ordered predictions.
+
+    Semantics match the reference greedy matcher (ref: util/score.py:45-95):
+    walking predictions best-first, each claims the nearest not-yet-claimed GT
+    frame of its video when within ±tolerance. Distance ties resolve to the
+    earliest-listed GT frame (np.argmin returns the first minimum, as the
+    reference's strict-improvement scan does), and duplicate GT frame values
+    within a video are claimable only once (the reference keys its claimed set
+    by frame value).
+    """
+    # Per-video GT frame arrays, first-occurrence order, value-deduped.
+    gt = {v: np.fromiter(dict.fromkeys(f), dtype=np.int64) for v, f in truth.items()}
+    free = {v: np.ones(a.size, dtype=bool) for v, a in gt.items()}
+
+    hit = np.zeros(len(pred), dtype=bool)
+    prev_score = np.inf
+    for i, (video, frame, score) in enumerate(pred):
+        assert score <= prev_score, "predictions must be score-sorted"
+        prev_score = score
+        frames = gt.get(video)
+        if frames is None:
+            continue
+        mask = free[video]
+        dist = np.where(mask, np.abs(frames - frame), np.iinfo(np.int64).max)
+        j = int(np.argmin(dist)) if frames.size else 0
+        if frames.size and dist[j] <= tolerance:
+            mask[j] = False
+            hit[i] = True
+    return hit
 
 
 def compute_average_precision(
@@ -59,33 +102,18 @@ def compute_average_precision(
     truth: Dict[str, List[int]],
     tolerance: int = 0,
 ) -> float:
-    """Greedy AP (ref: util/score.py:45-95)."""
+    """Greedy AP: interpolated precision integrated over TOTAL GT bins
+    (ref: util/score.py:45-95)."""
     total = sum(len(x) for x in truth.values())
     if total == 0:
         return 0.0
-    recalled = set()
-    pc: List[float] = []
-    prev_score = float("inf")
-    for i, (video, frame, score) in enumerate(pred, 1):
-        assert score <= prev_score, "predictions must be score-sorted"
-        prev_score = score
-        gt_closest = None
-        for gt_frame in truth.get(video, []):
-            if (video, gt_frame) in recalled:
-                continue
-            if gt_closest is None or abs(frame - gt_closest) > abs(frame - gt_frame):
-                gt_closest = gt_frame
-        if gt_closest is not None and abs(frame - gt_closest) <= tolerance:
-            recalled.add((video, gt_closest))
-            pc.append(len(recalled) / i)
-
-    # Right-to-left interpolation, then integrate over TOTAL bins.
-    interp = []
-    max_p = 0.0
-    for p in pc[::-1]:
-        max_p = max(p, max_p)
-        interp.append(max_p)
-    return sum(interp) / total
+    hit = _greedy_match(pred, truth, tolerance)
+    if not hit.any():
+        return 0.0
+    # Precision at each hit, by global rank; then right-to-left running max.
+    pc = np.cumsum(hit)[hit] / (np.flatnonzero(hit) + 1)
+    interp = np.maximum.accumulate(pc[::-1])
+    return float(interp.sum() / total)
 
 
 def plot_pr_curves(
@@ -108,22 +136,11 @@ def plot_pr_curves(
     for label in sorted(truth_by_label):
         flat = get_predictions(pred, label=label)
         total = sum(len(v) for v in truth_by_label[label].values())
-        recalled = set()
-        pts = []
-        for i, (video, frame, score) in enumerate(flat, 1):
-            gt_closest = None
-            for gt_frame in truth_by_label[label].get(video, []):
-                if (video, gt_frame) in recalled:
-                    continue
-                if gt_closest is None or abs(frame - gt_closest) > abs(frame - gt_frame):
-                    gt_closest = gt_frame
-            if gt_closest is not None and abs(frame - gt_closest) <= tolerance:
-                recalled.add((video, gt_closest))
-            if total:
-                pts.append((len(recalled) / total, len(recalled) / i))
-        if pts:
-            r, p = zip(*pts)
-            ax.plot(r, p, label=label)
+        if not total or not flat:
+            continue
+        hits = np.cumsum(_greedy_match(flat, truth_by_label[label], tolerance))
+        ranks = np.arange(1, hits.size + 1)
+        ax.plot(hits / total, hits / ranks, label=label)
     ax.set_xlabel("recall")
     ax.set_ylabel("precision")
     ax.set_title(f"PR @ tolerance {tolerance}")
