@@ -1,0 +1,388 @@
+"""Full-train-step golden parity: train/step.py vs a complete torch T-DEED.
+
+The last unproven layer of the quality story (everything below it is
+golden-tested per component): drive SEVERAL optimizer steps of the real
+jitted train step — forward (trunk + GSF + temp_enc + SGP U-Net + heads),
+weighted CE (fg 5) + displacement MSE, backward, AdamW with the chained
+LinearLR*Cosine schedule, BN batch-stat threading — from identical weights
+and data in both frameworks, and assert the loss trajectory and the updated
+parameter trees match.
+
+Reference recipe being pinned: model/model.py:193-332 (loss + epoch loop),
+train_tdeed.py:79-87 (AdamW + ChainedScheduler), model/modules.py:390-404
+(per-step BN updates).
+
+Stochastic stages are neutralized identically on both sides: photometric
+augmentation replaced by /255+standardize, mixup off, crop off, dropout
+replaced by identity (rates/RNGs can't be matched across frameworks; each
+stage has its own parity test elsewhere).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from flax.traverse_util import flatten_dict
+
+from tdeed_tpu.models.regnet import ARCH_PARAMS, generate_stages
+from tdeed_tpu.models.tdeed import TDEED
+from tdeed_tpu.train import augment
+from tdeed_tpu.train.schedule import make_optimizer
+from tdeed_tpu.train.state import TrainState
+from tdeed_tpu.train.step import make_train_step
+from tdeed_tpu.utils.torch_convert import (
+    conv2d_kernel,
+    conv3d_kernel,
+    dense_kernel,
+)
+from tests.test_sgp import mixer_params_from_oracle, sgp_params_from_oracle
+from tests.torch_oracles import OracleTDEED
+
+B, T, HW = 2, 8, 32
+NUM_CLASSES = 4  # + background
+NC_BG = NUM_CLASSES + 1
+N_LAYERS, KS, K = 1, 3, 2.0
+LR, WARM, COS = 8e-4, 2, 4
+N_STEPS = 4
+
+
+def _np(x):
+    return x.detach().numpy()
+
+
+def _bn(bn):
+    return {"scale": _np(bn.weight), "bias": _np(bn.bias)}
+
+
+def _convbn(conv, bn):
+    return {"conv": {"kernel": conv2d_kernel(_np(conv.weight))}, "bn": _bn(bn)}
+
+
+def _gsf_params(gs):
+    g = gs.gsf
+    return {
+        "gs": {
+            "bn": _bn(g.bn),
+            "gate_conv": {
+                "conv": {
+                    "kernel": conv3d_kernel(_np(g.conv3d.weight)),
+                    "bias": _np(g.conv3d.bias),
+                }
+            },
+            "channel_conv1": {
+                "conv": {
+                    "kernel": conv2d_kernel(_np(g.channel_conv1.weight)),
+                    "bias": _np(g.channel_conv1.bias),
+                }
+            },
+            "channel_conv2": {
+                "conv": {
+                    "kernel": conv2d_kernel(_np(g.channel_conv2.weight)),
+                    "bias": _np(g.channel_conv2.bias),
+                }
+            },
+        }
+    }
+
+
+def _head(linear):
+    return {
+        "fc_out": {
+            "dense": {
+                "kernel": dense_kernel(_np(linear.weight)),
+                "bias": _np(linear.bias),
+            }
+        }
+    }
+
+
+def flax_params_from_tdeed_oracle(o: OracleTDEED, depths):
+    feats = {"stem": _convbn(o.stem, o.stem_bn)}
+    bi_flat = 0
+    for si, d in enumerate(depths, start=1):
+        for bi in range(1, d + 1):
+            ob = o.blocks[bi_flat]
+            node = {
+                "conv1": _convbn(ob.conv1, ob.bn1),
+                "conv2": _convbn(ob.conv2, ob.bn2),
+                "conv3": _convbn(ob.conv3, ob.bn3),
+                "se": {
+                    "fc1": {
+                        "kernel": conv2d_kernel(_np(ob.se_fc1.weight)),
+                        "bias": _np(ob.se_fc1.bias),
+                    },
+                    "fc2": {
+                        "kernel": conv2d_kernel(_np(ob.se_fc2.weight)),
+                        "bias": _np(ob.se_fc2.bias),
+                    },
+                },
+            }
+            if ob.down is not None:
+                node["downsample"] = _convbn(ob.down, ob.bn_down)
+            if ob.shift is not None:
+                node["gs"] = _gsf_params(ob.shift)
+            feats[f"s{si}_b{bi}"] = node
+            bi_flat += 1
+
+    temp_fine = {}
+    for i, blk in enumerate(o.sgp):
+        temp_fine[f"sgp_{i}"] = sgp_params_from_oracle(blk)
+    for i, m in enumerate(o.mixers):
+        temp_fine[f"mixer_{i}"] = mixer_params_from_oracle(m)
+
+    tree = {
+        "features": feats,
+        "temp_enc": _np(o.temp_enc),
+        "temp_fine": temp_fine,
+        "pred_fine": _head(o.pred_fine),
+        "pred_displ": _head(o.pred_displ),
+    }
+    # Deep-copy every leaf: the SGP/mixer builders (shared with test_sgp)
+    # return numpy views of torch storage, torch's optimizer mutates in
+    # place, and jnp.asarray on CPU can alias numpy memory zero-copy.
+    return jax.tree.map(np.array, tree)
+
+
+@pytest.fixture()
+def deterministic_stages(monkeypatch):
+    # /255 + standardize only: photometric jitter off, identical both sides.
+    monkeypatch.setattr(
+        augment,
+        "train_preprocess",
+        lambda frames, key, crop: augment.standardize(
+            frames.astype(jnp.float32) / 255.0
+        ),
+    )
+    # Dropout -> identity (flax + torch RNG streams can't be matched).
+    import flax.linen as fnn
+
+    monkeypatch.setattr(
+        fnn, "Dropout", lambda rate, deterministic=None: (lambda x: x)
+    )
+
+
+def test_train_step_trajectory_matches_torch(deterministic_stages):
+    torch.manual_seed(3)
+    rng = np.random.default_rng(11)
+
+    p = ARCH_PARAMS["rny002"]
+    widths, depths, groups = generate_stages(
+        p["w0"], p["wa"], p["wm"], p["depth"], p["group_size"]
+    )
+    oracle = OracleTDEED(
+        widths, depths, groups, clip_len=T, num_classes_bg=NC_BG,
+        n_layers=N_LAYERS, ks=KS, k=K,
+    ).train()
+    with torch.no_grad():
+        oracle.temp_enc.normal_(std=1.0 / T)
+
+    frames = rng.integers(0, 256, (N_STEPS, B, T, HW, HW, 3)).astype(np.uint8)
+    labels = rng.integers(0, NC_BG, (N_STEPS, B, T)).astype(np.int32)
+    displ = rng.uniform(-2, 2, (N_STEPS, B, T)).astype(np.float32)
+
+    # Snapshot the INITIAL weights before the torch optimizer mutates them
+    # in place (jnp.asarray copies out of the shared numpy storage).
+    converted = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        flax_params_from_tdeed_oracle(oracle, depths),
+    )
+
+    # ---- torch reference run ------------------------------------------------
+    opt = torch.optim.AdamW(
+        oracle.parameters(), lr=LR, betas=(0.9, 0.999), eps=1e-8,
+        weight_decay=0.01,
+    )
+    sched = torch.optim.lr_scheduler.ChainedScheduler(
+        [
+            torch.optim.lr_scheduler.LinearLR(
+                opt, start_factor=0.01, end_factor=1.0, total_iters=WARM
+            ),
+            torch.optim.lr_scheduler.CosineAnnealingLR(opt, COS),
+        ]
+    )
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 1, 3, 1, 1)
+    ce_w = torch.tensor([1.0] + [5.0] * NUM_CLASSES)
+
+    torch_losses = []
+    for s in range(N_STEPS):
+        x = torch.from_numpy(frames[s]).float().permute(0, 1, 4, 2, 3) / 255.0
+        x = (x - mean) / std
+        logits, pred_d = oracle(x)
+        loss = F.cross_entropy(
+            logits.reshape(-1, NC_BG),
+            torch.from_numpy(labels[s]).long().reshape(-1),
+            weight=ce_w,
+        ) + F.mse_loss(pred_d, torch.from_numpy(displ[s]))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        torch_losses.append(float(loss.detach()))
+
+    # ---- JAX run from the same weights --------------------------------------
+    model = TDEED(
+        num_classes=NUM_CLASSES, clip_len=T, feature_arch="rny002_gsf",
+        n_layers=N_LAYERS, sgp_ks=KS, sgp_r=K, radi_displacement=1,
+        dtype=jnp.float32,
+    )
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), jnp.zeros((B, T, HW, HW, 3), jnp.float32), False
+    )
+    # Tree-structure guard: every leaf of the init tree must be covered.
+    fi = flatten_dict(variables["params"])
+    fc = flatten_dict(converted)
+    assert set(fi) == set(fc), set(fi) ^ set(fc)
+    for key in fi:
+        assert fi[key].shape == fc[key].shape, (key, fi[key].shape, fc[key].shape)
+
+    tx = make_optimizer(LR, warmup_steps=WARM, cosine_steps=COS)
+    state = TrainState.create(converted, variables["batch_stats"], tx)
+    step_fn = jax.jit(
+        make_train_step(
+            model, tx, crop_dim=None, num_classes_bg=NC_BG, mixup=False,
+            radi_displacement=1, pallas_augment=False,
+        )
+    )
+
+    jax_losses = []
+    key = jax.random.PRNGKey(42)
+    for s in range(N_STEPS):
+        batch = {
+            "frame": jnp.asarray(frames[s]),
+            "label": jnp.asarray(labels[s]),
+            "labelD": jnp.asarray(displ[s]),
+        }
+        state, metrics = step_fn(state, batch, key)
+        jax_losses.append(float(metrics["loss"]))
+
+    # Step 0 (identical weights, pre-update) pins the train-mode forward +
+    # loss composition tightly. Later steps run through AdamW, whose
+    # m/(sqrt(v)+eps) normalization makes the trajectory chaotic at fp32 on
+    # this fixture: torch's OWN f32-vs-f64 trajectory diverges 19% by step 2
+    # (measured, see docs/DESIGN.md "train-step parity"), while this
+    # jax-f32-vs-torch-f32 comparison stays within ~1% — 20x inside the
+    # fp32 conditioning floor. 3e-2 is the tightest bound any correct
+    # implementation could promise here; optimizer/schedule semantics are
+    # pinned exactly by the well-conditioned test below.
+    np.testing.assert_allclose(jax_losses[0], torch_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=3e-2)
+
+    # Updated parameters: compare the full trees after N_STEPS AdamW updates.
+    want = flatten_dict(
+        jax.tree.map(
+            lambda x: np.asarray(x, np.float32),
+            flax_params_from_tdeed_oracle(oracle, depths),
+        )
+    )
+    got = flatten_dict(jax.tree.map(np.asarray, state.params))
+    for key_ in want:
+        np.testing.assert_allclose(
+            got[key_], want[key_], atol=2e-3, rtol=5e-2,
+            err_msg="/".join(key_),
+        )
+
+    # BN running means must have threaded through the steps: the stem mean
+    # depends only on the data and near-static stem weights (tight); deep
+    # means inherit the chaotic fp32 param drift (loose).
+    # (Running VARS differ by design: torch updates them with the unbiased
+    # n/(n-1) variance while flax-convention stats store the biased one —
+    # negligible at real batch sizes and irrelevant to the train loss.)
+    got_stats = flatten_dict(jax.tree.map(np.asarray, state.batch_stats))
+    np.testing.assert_allclose(
+        got_stats[("features", "stem", "bn", "mean")],
+        _np(oracle.stem_bn.running_mean), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        got_stats[("features", "s4_b7", "conv3", "bn", "mean")],
+        _np(oracle.blocks[-1].bn3.running_mean), atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        got_stats[("features", "s3_b1", "gs", "gs", "bn", "mean")],
+        _np(oracle.blocks[2].shift.gsf.bn.running_mean), atol=5e-3,
+    )
+
+
+def test_adamw_chained_schedule_trajectory_exact():
+    """AdamW + chained LinearLR*Cosine schedule + weight decay, pinned
+    EXACTLY over 10 steps on a well-conditioned fixture (tiny MLP, no
+    BN/conv, soft targets), torch.optim.AdamW vs make_optimizer
+    (ref: train_tdeed.py:79-87, model/modules.py:37-39).
+
+    Complements the full-model trajectory test above, whose fp32
+    conditioning only supports a ~3% bound: any optimizer-semantics error
+    (bias correction, decoupled wd, schedule chaining) shows up here at
+    1e-5 resolution.
+    """
+    rng = np.random.default_rng(5)
+    din, dh, dout, n = 6, 16, 3, 32
+    w1 = rng.normal(size=(din, dh)).astype(np.float32) * 0.4
+    b1 = np.zeros(dh, np.float32)
+    w2 = rng.normal(size=(dh, dout)).astype(np.float32) * 0.4
+    b2 = np.zeros(dout, np.float32)
+    xs = rng.normal(size=(10, n, din)).astype(np.float32)
+    ys = rng.integers(0, dout, (10, n))
+
+    lr, warm, cos_steps = 1e-2, 3, 7
+
+    # torch
+    tw1 = torch.nn.Parameter(torch.from_numpy(w1.T.copy()))
+    tb1 = torch.nn.Parameter(torch.from_numpy(b1.copy()))
+    tw2 = torch.nn.Parameter(torch.from_numpy(w2.T.copy()))
+    tb2 = torch.nn.Parameter(torch.from_numpy(b2.copy()))
+    opt = torch.optim.AdamW(
+        [tw1, tb1, tw2, tb2], lr=lr, betas=(0.9, 0.999), eps=1e-8,
+        weight_decay=0.01,
+    )
+    sched = torch.optim.lr_scheduler.ChainedScheduler(
+        [
+            torch.optim.lr_scheduler.LinearLR(
+                opt, start_factor=0.01, end_factor=1.0, total_iters=warm
+            ),
+            torch.optim.lr_scheduler.CosineAnnealingLR(opt, cos_steps),
+        ]
+    )
+    t_losses = []
+    for s in range(10):
+        h = torch.tanh(torch.from_numpy(xs[s]) @ tw1.T + tb1)
+        logits = h @ tw2.T + tb2
+        loss = F.cross_entropy(logits, torch.from_numpy(ys[s]).long())
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        t_losses.append(float(loss.detach()))
+
+    # jax
+    tx = make_optimizer(lr, warmup_steps=warm, cosine_steps=cos_steps)
+    params = {
+        "w1": jnp.asarray(w1), "b1": jnp.asarray(b1),
+        "w2": jnp.asarray(w2), "b2": jnp.asarray(b2),
+    }
+    opt_state = tx.init(params)
+
+    def loss_fn(p, x, y):
+        h = jnp.tanh(x @ p["w1"] + p["b1"])
+        logits = h @ p["w2"] + p["b2"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    j_losses = []
+    for s in range(10):
+        loss, g = grad_fn(params, jnp.asarray(xs[s]), jnp.asarray(ys[s]))
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = jax.tree.map(lambda p_, u: p_ + u, params, updates)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["w1"]), tw1.detach().numpy().T, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["w2"]), tw2.detach().numpy().T, atol=1e-6
+    )

@@ -187,10 +187,15 @@ class OracleYBlock(nn.Module):
     topology the reference builds (ref: model/model.py:37-46): conv1 1x1 ->
     conv2 3x3 grouped (stride) -> SE (rd from block INPUT width) -> conv3
     1x1 -> residual (+1x1 downsample when shape changes), BN after every
-    conv, ReLU except after conv3 (applied post-residual)."""
+    conv, ReLU except after conv3 (applied post-residual).
 
-    def __init__(self, in_w, w, stride, group_size, se_ratio=0.25):
+    shift: optional temporal-shift module applied to the block input before
+    conv1 only — the residual path sees the unshifted input
+    (ref: model/shift.py:89-93)."""
+
+    def __init__(self, in_w, w, stride, group_size, se_ratio=0.25, shift=None):
         super().__init__()
+        self.shift = shift
         groups = w // group_size
         self.conv1 = nn.Conv2d(in_w, w, 1, bias=False)
         self.bn1 = nn.BatchNorm2d(w)
@@ -209,6 +214,8 @@ class OracleYBlock(nn.Module):
 
     def forward(self, x):
         sc = x
+        if self.shift is not None:
+            x = self.shift(x)
         out = torch.relu(self.bn1(self.conv1(x)))
         out = torch.relu(self.bn2(self.conv2(out)))
         s = out.mean(dim=(2, 3), keepdim=True)
@@ -218,6 +225,80 @@ class OracleYBlock(nn.Module):
         if self.down is not None:
             sc = self.bn_down(self.down(sc))
         return torch.relu(out + sc)
+
+
+class OracleGatedShift(nn.Module):
+    """GSF on the first fold_dim channels, passthrough for the rest
+    (ref: model/shift.py:64-93); fold_dim = ceil(C//4 / 4) * 4."""
+
+    def __init__(self, channels, clip_len):
+        super().__init__()
+        self.fold = math.ceil(channels // 4 / 4) * 4
+        self.gsf = OracleGSF(self.fold, clip_len)
+
+    def forward(self, x):  # (B*T, C, H, W)
+        return torch.cat([self.gsf(x[:, : self.fold]), x[:, self.fold :]], dim=1)
+
+
+class OracleTDEED(nn.Module):
+    """Complete torch T-DEED: RegNet-Y trunk with GSF in stages 3/4,
+    additive temporal embedding, SGP U-Net, linear heads
+    (ref: model/model.py:23-149 + modules.py:58-87).
+
+    Heads carry no dropout — the train-step parity test neutralizes dropout
+    on the JAX side so both forwards are deterministic."""
+
+    def __init__(self, widths, depths, groups, clip_len, num_classes_bg,
+                 n_layers, ks, k, stem_w=32):
+        super().__init__()
+        self.clip_len = clip_len
+        self.n_layers = n_layers
+        self.stem = nn.Conv2d(3, stem_w, 3, stride=2, padding=1, bias=False)
+        self.stem_bn = nn.BatchNorm2d(stem_w)
+        blocks, in_w = [], stem_w
+        for si, (w, d, g) in enumerate(zip(widths, depths, groups)):
+            for bi in range(d):
+                shift = OracleGatedShift(in_w, clip_len) if si >= 2 else None
+                blocks.append(
+                    OracleYBlock(in_w, w, 2 if bi == 0 else 1, g, shift=shift)
+                )
+                in_w = w
+        self.blocks = nn.ModuleList(blocks)
+        d_feat = widths[-1]
+        self.temp_enc = nn.Parameter(torch.zeros(clip_len, d_feat))
+        lens = [math.ceil(clip_len / 2 ** i) for i in range(n_layers + 1)]
+        self.sgp = nn.ModuleList(
+            [OracleSGPBlock(d_feat, ks, k) for _ in range(2 * n_layers + 1)]
+        )
+        self.mixers = nn.ModuleList(
+            [OracleSGPMixer(d_feat, ks, k, t_size=lens[i]) for i in range(n_layers)]
+        )
+        self.pools = nn.ModuleList(
+            [nn.AdaptiveMaxPool1d(lens[i + 1]) for i in range(n_layers)]
+        )
+        self.pred_fine = nn.Linear(d_feat, num_classes_bg)
+        self.pred_displ = nn.Linear(d_feat, 1)
+
+    def forward(self, x):  # (B, T, 3, H, W) standardized float
+        b, t = x.shape[:2]
+        f = x.reshape(b * t, *x.shape[2:])
+        f = torch.relu(self.stem_bn(self.stem(f)))
+        for blk in self.blocks:
+            f = blk(f)
+        f = f.mean(dim=(2, 3)).view(b, t, -1)
+        f = f + self.temp_enc
+        z = f.permute(0, 2, 1)
+        skips = []
+        for i in range(self.n_layers):
+            z = self.sgp[i](z)
+            skips.append(z)
+            z = self.pools[i](z)
+        z = self.sgp[self.n_layers](z)
+        for i in range(self.n_layers):
+            z = self.mixers[-(i + 1)](z, skips[-(i + 1)])
+            z = self.sgp[self.n_layers + i + 1](z)
+        feat = z.permute(0, 2, 1)
+        return self.pred_fine(feat), self.pred_displ(feat)[..., 0]
 
 
 class OracleRegNetTrunk(nn.Module):
