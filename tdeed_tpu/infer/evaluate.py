@@ -64,6 +64,29 @@ class ForegroundF1:
             self._fn[None] += 1
             self._fn[true] += 1
 
+    def update_all(self, true: np.ndarray, pred: np.ndarray) -> None:
+        """Vectorized equivalent of calling update() per frame (the
+        reference walks frames in Python — ref: util/eval.py:117-124; on an
+        SN test split that is ~10^6 interpreter iterations)."""
+        true = np.asarray(true).ravel()
+        pred = np.asarray(pred).ravel()
+        pred_fg = pred != 0
+        true_fg = true != 0
+        match = pred == true
+        self._tp[None] += int(np.sum(pred_fg & true_fg))
+        self._fp[None] += int(np.sum(pred_fg & ~true_fg))
+        self._fn[None] += int(np.sum(~pred_fg & true_fg))
+        n = int(max(true.max(initial=0), pred.max(initial=0))) + 1
+        for c, v in enumerate(np.bincount(pred[pred_fg & match], minlength=n)):
+            if c and v:
+                self._tp[c] += int(v)
+        for c, v in enumerate(np.bincount(pred[pred_fg & ~match], minlength=n)):
+            if c and v:
+                self._fp[c] += int(v)
+        for c, v in enumerate(np.bincount(true[true_fg & ~match], minlength=n)):
+            if c and v:
+                self._fn[c] += int(v)
+
     def get(self, k) -> float:
         denom = self._tp[k] + 0.5 * self._fp[k] + 0.5 * self._fn[k]
         if denom == 0:
@@ -104,31 +127,31 @@ def process_frame_predictions(
         if with_stats:
             label = data.get_labels(video, classes)
             err.update(label, pred)
-            for i in range(pred.shape[0]):
-                f1.update(int(label[i]), int(pred[i]))
+            f1.update_all(label, pred)
 
         if with_scores:
             pred_scores[video] = scores.tolist()
-        events = []
-        events_high_recall = []
-        for i in range(pred.shape[0]):
-            if pred[i] != 0:
-                events.append(
-                    {
-                        "label": classes_inv[pred[i]],
-                        "frame": i,
-                        "score": float(scores[i, pred[i]]),
-                    }
-                )
-            for j in classes_inv:
-                if scores[i, j] >= high_recall_score_threshold:
-                    events_high_recall.append(
-                        {
-                            "label": classes_inv[j],
-                            "frame": i,
-                            "score": float(scores[i, j]),
-                        }
-                    )
+
+        # Event extraction, vectorized (the reference's frame x class Python
+        # loop is minutes of interpreter time on an SN split — ref:
+        # util/eval.py:126-140). Dict building only touches the hits.
+        fg = np.flatnonzero(pred)
+        events = [
+            {"label": classes_inv[int(pred[i])], "frame": int(i),
+             "score": float(scores[i, pred[i]])}
+            for i in fg
+        ]
+        # High-recall list in the reference's exact order: frames ascending,
+        # classes in classes_inv insertion order within each frame (NMS tie
+        # order downstream depends on it).
+        cols = np.fromiter(classes_inv, dtype=np.int64)
+        ii, kk = np.nonzero(scores[:, cols] >= high_recall_score_threshold)
+        names = [classes_inv[int(c)] for c in cols]
+        hit_scores = scores[ii, cols[kk]]
+        events_high_recall = [
+            {"label": names[k], "frame": int(i), "score": float(s)}
+            for i, k, s in zip(ii, kk, hit_scores)
+        ]
         pred_events.append({"video": video, "events": events, "fps": fps_dict[video]})
         pred_events_high_recall.append(
             {"video": video, "events": events_high_recall, "fps": fps_dict[video]}
