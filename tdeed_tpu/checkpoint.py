@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional
 import jax
 import orbax.checkpoint as ocp
 
+from tdeed_tpu.parallel.mesh import host_replica
 from tdeed_tpu.train.state import TrainState
 
 BEST = "checkpoint_best"
@@ -30,7 +31,19 @@ LAST = "checkpoint_last"
 META = "train_meta.json"
 
 
-def _checkpointer() -> ocp.PyTreeCheckpointer:
+def _checkpointer() -> ocp.Checkpointer:
+    if jax.process_count() > 1:
+        # Checkpoint IO is process-0-only by design (cli/train.py gates all
+        # saves on is_main). Orbax's default save/restore synchronizes ALL
+        # processes — a main-only call would hang on that barrier — so
+        # restrict its active set to process 0: the trees it sees are
+        # already host numpy (host_replica), nothing collective remains.
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 
@@ -43,8 +56,10 @@ def save_state(path: str, state: TrainState) -> None:
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     # Orbax restores on the host by default; fetch to host before save so
-    # sharded device arrays serialize from one process.
-    host_state = jax.device_get(state)
+    # device arrays serialize from one process. host_replica (not
+    # device_get) so a multi-host-replicated state saves from process 0
+    # alone without a collective.
+    host_state = host_replica(state)
     _checkpointer().save(tmp, host_state)
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -57,7 +72,7 @@ def restore_state(path: str, template: TrainState) -> TrainState:
     template-free restore would hand back raw Orbax containers — optax
     namedtuple states don't survive it, so it is not offered.)"""
     path = os.path.abspath(path)
-    restored = _checkpointer().restore(path, item=jax.device_get(template))
+    restored = _checkpointer().restore(path, item=host_replica(template))
     return jax.tree.map(lambda t, r: r, template, restored)
 
 
@@ -69,7 +84,7 @@ def save_params(path: str, params: Any, batch_stats: Any) -> None:
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     _checkpointer().save(
-        tmp, {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)}
+        tmp, {"params": host_replica(params), "batch_stats": host_replica(batch_stats)}
     )
     if os.path.exists(path):
         shutil.rmtree(path)

@@ -278,30 +278,57 @@ def main(argv=None) -> None:
         static_argnums=(3,),
     )
 
-    def predict_fn(frames, hflip=False):
-        _, probs = predict_step(state.params, state.batch_stats, frames, hflip)
-        return probs
+    def eval_predict_fn():
+        """Predict closure over a process-local copy of the current state.
+
+        Multi-host DP replicates the train state over the GLOBAL mesh, so
+        any computation on it is a collective program every process must
+        join — but eval (val-mAP + test tail) runs on process 0 only. Pull
+        the local replica (a few MB) and run a purely process-local
+        program: main-only eval cannot deadlock. Single-host: zero-copy.
+        """
+        if multihost:
+            from tdeed_tpu.parallel.mesh import host_replica
+
+            p, bs = jax.device_put(
+                host_replica((state.params, state.batch_stats))
+            )
+        else:
+            p, bs = state.params, state.batch_stats
+
+        def fn(frames, hflip=False):
+            _, probs = predict_step(p, bs, frames, hflip)
+            return probs
+
+        return fn
 
     # --- data loaders ---------------------------------------------------
-    # per-host slice of the global batch (single host: the whole batch)
+    # Each host materializes its row-slice of the SAME global epoch plan
+    # (sample RNGs keyed by global row index): the union over hosts equals
+    # the single-host epoch bit-for-bit, so N-process and 1-process runs
+    # are numerically identical (tests/test_multihost.py).
     local_batch = cfg.batch_size // jax.process_count()
     assert local_batch * jax.process_count() == cfg.batch_size, (
         "batch_size must divide evenly across hosts"
     )
-    host_seed_off = jax.process_index() * 1_000_003
+    shard_off = jax.process_index() * local_batch
     train_loader = BatchLoader(
         train_sampler,
         local_batch,
-        cfg.dataset_len // jax.process_count(),
+        cfg.dataset_len,
         num_workers=max(4, cfg.num_workers),
-        seed=args.seed + host_seed_off,
+        seed=args.seed,
+        global_batch_size=cfg.batch_size,
+        shard_offset=shard_off,
     )
     val_loader = BatchLoader(
         val_sampler,
         local_batch,
-        cfg.dataset_len // 4 // jax.process_count(),  # ref: datasets.py:49
+        cfg.dataset_len // 4,  # ref: datasets.py:49
         num_workers=max(4, cfg.num_workers),
-        seed=args.seed + 100_000 + host_seed_off,
+        seed=args.seed + 100_000,
+        global_batch_size=cfg.batch_size,
+        shard_offset=shard_off,
     )
 
     val_data_frames = None
@@ -400,15 +427,16 @@ def main(argv=None) -> None:
                 if is_best:
                     best = val_loss
             elif epoch >= cfg.start_val_epoch:  # ref: train_tdeed.py:182-199
+                pfn = eval_predict_fn()
                 if cfg.dataset == "soccernet":
                     from tdeed_tpu.metrics.soccernet import val_map_sn
 
                     val_map = val_map_sn(
-                        predict_fn, cfg, args.data_root, labels_root
+                        pfn, cfg, args.data_root, labels_root
                     )
                 else:
                     val_map = evaluate(
-                        predict_fn,
+                        pfn,
                         val_data_frames,
                         "VAL",
                         classes,
@@ -468,15 +496,20 @@ def main(argv=None) -> None:
     if os.path.exists(os.path.join(ckpt.save_dir, BEST)):
         restored = ckpt.restore_best()
         # device_put once: numpy trees in the predict closure would re-upload
-        # the whole model every sliding-window call
-        state = state.replace(
-            params=jax.device_put(restored["params"]),
-            batch_stats=jax.device_put(restored["batch_stats"]),
-        )
+        # the whole model every sliding-window call. Restored arrays are
+        # process-local, so the closure below is a local program even after
+        # a multi-host training run.
+        rp = jax.device_put(restored["params"])
+        rbs = jax.device_put(restored["batch_stats"])
+
+        def test_predict_fn(frames, hflip=False):
+            _, probs = predict_step(rp, rbs, frames, hflip)
+            return probs
     else:
         # No epoch ever improved the criterion (e.g. num_epochs <
         # start_val_epoch): evaluate the final state instead.
         print("warning: no best checkpoint; evaluating final state")
+        test_predict_fn = eval_predict_fn()
 
     for split in EVAL_SPLITS:
         split_path = os.path.join(args.data_root, cfg.dataset, f"{split}.json")
@@ -493,7 +526,7 @@ def main(argv=None) -> None:
         )
         pred_file = os.path.join(ckpt.save_dir, f"pred-{split}")
         maps, tols = evaluate(
-            predict_fn,
+            test_predict_fn,
             data,
             split.upper(),
             classes,

@@ -109,10 +109,23 @@ class BatchLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         seed: int = 1,
+        global_batch_size: Optional[int] = None,
+        shard_offset: int = 0,
     ):
+        """batch_size is the LOCAL batch this loader materializes.
+
+        Multi-host DP: pass the GLOBAL batch size and this host's row
+        offset. Sample RNGs derive from the global row index, so the union
+        of all hosts' loaders reproduces the single-host epoch bit-for-bit
+        (host h materializes rows [h*local, (h+1)*local) of every global
+        batch). Single-host: defaults make both equal to batch_size/0.
+        """
         self.sampler = sampler
         self.batch_size = batch_size
-        self.num_batches = max(1, dataset_len // batch_size)
+        self.global_batch_size = global_batch_size or batch_size
+        self.shard_offset = shard_offset
+        assert self.shard_offset + batch_size <= self.global_batch_size
+        self.num_batches = max(1, dataset_len // self.global_batch_size)
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.seed = seed
@@ -155,7 +168,10 @@ class BatchLoader:
                         if stop.is_set():
                             break
                         rngs = [
-                            random.Random(base_seed * 1_000_003 + b * 1009 + i)
+                            random.Random(
+                                base_seed * 1_000_003 + b * 1009
+                                + self.shard_offset + i
+                            )
                             for i in range(self.batch_size)
                         ]
                         futs = [pool.submit(self.sampler.sample, r) for r in rngs]
@@ -189,9 +205,12 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     buf = collections.deque()
 
     def put(batch):
-        if sharding is not None:
-            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-        return jax.tree.map(jax.device_put, batch)
+        def one(x):
+            if isinstance(x, jax.Array):
+                return x  # already placed (shard_batch / form_global_batch)
+            return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+
+        return jax.tree.map(one, batch)
 
     for batch in iterator:
         buf.append(put(batch))

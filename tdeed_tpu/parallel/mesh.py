@@ -45,6 +45,28 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def host_replica(tree: Any) -> Any:
+    """Host-numpy copy of a (replicated) array tree, multi-host safe.
+
+    ``jax.device_get`` refuses arrays whose shards live on other hosts'
+    devices. Data-parallel state (params / BN stats / opt state) is
+    REPLICATED over the global mesh, so the process-local replica is the
+    full value — pull it via ``addressable_data``. Fully-addressable leaves
+    (single-host) take the plain device_get path.
+    """
+
+    def pull(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            assert x.sharding.is_fully_replicated, (
+                "host_replica needs replicated arrays; got sharding "
+                f"{x.sharding} for shape {x.shape}"
+            )
+            return np.asarray(x.addressable_data(0))
+        return jax.device_get(x)
+
+    return jax.tree.map(pull, tree)
+
+
 def form_global_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Assemble a globally-sharded batch from per-host local shards.
 
