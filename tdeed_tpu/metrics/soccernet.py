@@ -412,7 +412,9 @@ def val_map_sn(
         window coverage), but best-epoch selection only needs a consistent
         ordering — both track the same underlying tight a-mAP. The at-1.0
         oracle fixture (tests/test_soccernet_evaluators.py
-        ::test_val_map_sn_with_oracle) pins the scale.
+        ::test_val_map_sn_with_oracle) pins the scale, and
+        tests/test_valmap_selector.py shows both selectors rank a synthetic
+        training trajectory identically across clip-sampling RNGs.
     """
     from tdeed_tpu.data.registry import get_spec
     from tdeed_tpu.infer.evaluate import run_inference
