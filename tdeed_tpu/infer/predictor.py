@@ -65,13 +65,95 @@ class SpottingPredictor:
         self._params = jax.device_put(params)
         self._batch_stats = jax.device_put(batch_stats)
         model = build_model(cfg, two_heads=two_heads)
-        self._predict = jax.jit(
-            make_predict_step(
-                model, crop_dim=cfg.crop_dim,
-                radi_displacement=cfg.radi_displacement, two_heads=two_heads,
-            ),
-            static_argnums=(3,),
+        self._predict_raw = make_predict_step(
+            model, crop_dim=cfg.crop_dim,
+            radi_displacement=cfg.radi_displacement, two_heads=two_heads,
         )
+        self._predict = jax.jit(self._predict_raw, static_argnums=(3,))
+        self._acc_step = jax.jit(self._make_acc_step(), static_argnums=(7, 8))
+
+    def _make_acc_step(self):
+        """One fused device program: predict a window batch and scatter-add
+        it into per-video score/support buffers living on the device.
+
+        The host-accumulate path (predict_windows) synchronizes on every
+        batch (np.asarray is a D2H fence), capping dispatch pipelining; this
+        keeps the whole video's aggregation on device and transfers once at
+        the end. Buffers carry clip_len slack at both ends so the
+        reference's bound clamping (ref: util/eval.py:303-317) becomes plain
+        in-bounds dynamic slices: windows start at >= -pad_len and overrun
+        the tail by < clip_len, both inside the slack.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        clip_len = self.cfg.clip_len
+        predict = self._predict_raw
+
+        def acc_step(params, stats, frames, starts, valid, scores_buf,
+                     support_buf, hflip, tta):
+            _, probs = predict(params, stats, frames, hflip)
+            probs = probs.astype(jnp.float32) * valid[:, None, None]
+            n_cls = probs.shape[-1]
+            for i in range(frames.shape[0]):  # static batch unroll
+                start = starts[i] + clip_len  # slack offset
+                if tta:
+                    # TTA counts support unconditionally per pass
+                    rows = jnp.full((clip_len,), valid[i], jnp.int32)
+                else:
+                    rows = (jnp.sum(probs[i], axis=1) != 0).astype(jnp.int32)
+                seg = jax.lax.dynamic_slice(
+                    scores_buf, (start, 0), (clip_len, n_cls)
+                )
+                scores_buf = jax.lax.dynamic_update_slice(
+                    scores_buf, seg + probs[i], (start, 0)
+                )
+                sseg = jax.lax.dynamic_slice(support_buf, (start,), (clip_len,))
+                support_buf = jax.lax.dynamic_update_slice(
+                    support_buf, sseg + rows, (start,)
+                )
+            return scores_buf, support_buf
+
+        return acc_step
+
+    def _spot_device(self, batches, t_len: int, bs: int, tta: bool):
+        """Aggregate one video's windows on device; a single D2H at the end.
+
+        Buffer lengths round up to 512-unit buckets so videos of similar
+        length (e.g. SoccerNet halves) share one executable. Ragged last
+        batches are zero-padded with a valid mask instead of a host-side
+        slice, keeping every dispatch shape-identical and asynchronous.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        clip_len = self.cfg.clip_len
+        n_cls = len(self.classes) + 1
+        buf_len = -(-(t_len + 2 * clip_len) // 512) * 512
+        scores_buf = jnp.zeros((buf_len, n_cls), jnp.float32)
+        support_buf = jnp.zeros((buf_len,), jnp.int32)
+
+        for batch in batches:
+            frames = np.stack([c["frame"] for c in batch], axis=0)
+            starts = np.asarray([int(c["start"]) for c in batch], np.int32)
+            n = len(batch)
+            if n < bs:
+                frames = np.concatenate(
+                    [frames,
+                     np.zeros((bs - n, *frames.shape[1:]), frames.dtype)],
+                    axis=0,
+                )
+                starts = np.concatenate([starts, np.zeros(bs - n, np.int32)])
+            valid = (np.arange(bs) < n).astype(np.float32)
+            passes = [False, True] if tta else [False]
+            for hflip in passes:
+                scores_buf, support_buf = self._acc_step(
+                    self._params, self._batch_stats, frames, starts, valid,
+                    scores_buf, support_buf, hflip, tta,
+                )
+        scores, support = jax.device_get((scores_buf, support_buf))
+        return (scores[clip_len:clip_len + t_len],
+                support[clip_len:clip_len + t_len])
 
     # -- construction -----------------------------------------------------
 
@@ -117,6 +199,7 @@ class SpottingPredictor:
         nms: str = "snms",  # 'nms' | 'snms' | 'none'
         threshold: float = 0.01,
         hflip_tta: Optional[bool] = None,
+        device_aggregate: bool = True,
     ) -> List[dict]:
         """Spot events in one video. Returns [{label, frame, score}, ...]
         with frames in *strided* units (multiply by spec.eval_stride for
@@ -146,14 +229,6 @@ class SpottingPredictor:
             hflip_tta = self.spec.hflip_tta
 
         t_len = math.ceil(num_frames / stride)
-        # same accumulator protocol as evaluation (ref: util/eval.py:284-349)
-        pred_dict = {
-            video: (
-                np.zeros((t_len, len(self.classes) + 1), np.float32),
-                np.zeros(t_len, np.int32),
-            )
-        }
-
         starts = self._windows(num_frames)
         bs = 1 if hflip_tta else self.batch_size
 
@@ -174,15 +249,25 @@ class SpottingPredictor:
                 if out:
                     yield out
 
-        def predict_fn(frames, hflip):
-            return self._predict(
-                self._params, self._batch_stats, frames, hflip
-            )[1]
+        if device_aggregate:
+            scores, support = self._spot_device(batches(), t_len, bs,
+                                                bool(hflip_tta))
+        else:
+            # host accumulation, same inner loop as evaluation
+            pred_dict = {
+                video: (
+                    np.zeros((t_len, len(self.classes) + 1), np.float32),
+                    np.zeros(t_len, np.int32),
+                )
+            }
 
-        # same inner loop as evaluation (pad/TTA/support semantics shared)
-        predict_windows(predict_fn, pred_dict, batches(), bs, hflip_tta)
+            def predict_fn(frames, hflip):
+                return self._predict(
+                    self._params, self._batch_stats, frames, hflip
+                )[1]
 
-        scores, support = pred_dict[video]
+            predict_windows(predict_fn, pred_dict, batches(), bs, hflip_tta)
+            scores, support = pred_dict[video]
         support = support.copy()
         support[support == 0] = 1
         probs = scores / support[:, None]

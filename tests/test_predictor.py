@@ -119,3 +119,26 @@ def test_spot_shared_dir_requires_num_frames(run_dir):
     pred.cfg.dataset = "tennis"
     with _pytest.raises(ValueError, match="num_frames"):
         pred.spot(fx["frame_dir"], "x_0_10")
+
+
+def test_device_aggregation_matches_host_path(run_dir):
+    """spot() device-side scatter-add accumulation vs the host numpy
+    accumulator (predict_windows): identical scores through both paths,
+    with and without TTA (TTA exercises the per-pass unconditional
+    support counting)."""
+    fx, cfg_root = run_dir
+    pred = SpottingPredictor.from_run(
+        "FineDiving_tiny", cfg_root, fx["data_root"], batch_size=3
+    )
+    with open(os.path.join(fx["data_root"], "finediving", "train.json")) as fp:
+        meta = json.load(fp)[0]
+
+    for tta in (False, True):
+        dev = pred.spot(fx["frame_dir"], meta["video"], meta["num_frames"],
+                        hflip_tta=tta, nms="none", device_aggregate=True)
+        host = pred.spot(fx["frame_dir"], meta["video"], meta["num_frames"],
+                         hflip_tta=tta, nms="none", device_aggregate=False)
+        assert len(dev) == len(host)
+        for a, b in zip(dev, host):
+            assert a["label"] == b["label"] and a["frame"] == b["frame"]
+            np.testing.assert_allclose(a["score"], b["score"], rtol=1e-6)

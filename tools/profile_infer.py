@@ -72,11 +72,93 @@ def bench_predict(name, cfg, b, h, w, iters):
     return fps
 
 
+def bench_aggregation():
+    """SN-length sliding-window serving: host accumulate (per-batch D2H
+    sync) vs device accumulate (scatter-add buffers, one D2H per video).
+
+    SN geometry: 45-min half @ stride 12 -> t_len 5625, hop 50, 113
+    windows. 8 distinct pre-built batches cycle (RAM bound); repeats may
+    dedup in the HOST path's favor (device path chains through the buffer,
+    so it cannot dedup) — a conservative comparison.
+    """
+    from tdeed_tpu.config import TDEEDConfig
+    from tdeed_tpu.infer.evaluate import predict_windows
+    from tdeed_tpu.infer.predictor import SpottingPredictor
+    from tdeed_tpu.models.tdeed import build_model
+
+    cfg = TDEEDConfig(
+        dataset="soccernet", num_classes=17, clip_len=100, crop_dim=224,
+        feature_arch="rny002_gsf", n_layers=2, sgp_ks=7, sgp_r=4,
+        radi_displacement=4,
+    )
+    model = build_model(cfg)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.clip_len, 256, 256, 3), jnp.float32), False,
+    )
+    classes = {f"c{i}": i for i in range(1, 18)}
+    pred = SpottingPredictor(
+        cfg, variables["params"], variables["batch_stats"], classes
+    )
+
+    t_len, hop, bs = 5625, 50, 4
+    starts = list(range(-5, t_len - 50, hop))
+    r = np.random.default_rng(0)
+    distinct = [
+        r.integers(0, 256, (bs, cfg.clip_len, 256, 256, 3), np.uint8)
+        for _ in range(8)
+    ]
+
+    def batches():
+        for ofs in range(0, len(starts), bs):
+            chunk = starts[ofs:ofs + bs]
+            fr = distinct[(ofs // bs) % len(distinct)]
+            yield [
+                {"video": "half1", "start": s, "frame": fr[i]}
+                for i, s in enumerate(chunk)
+            ]
+
+    # warm both executables
+    warm = [next(iter(batches()))]
+    pred._spot_device(iter(warm), t_len, bs, False)
+    pd = {"half1": (np.zeros((t_len, 18), np.float32),
+                    np.zeros(t_len, np.int32))}
+    predict_windows(
+        lambda f, h: pred._predict(pred._params, pred._batch_stats, f, h)[1],
+        pd, iter(warm), bs, False,
+    )
+
+    t0 = time.perf_counter()
+    sc_d, sup_d = pred._spot_device(batches(), t_len, bs, False)
+    dt_dev = time.perf_counter() - t0
+
+    pd = {"half1": (np.zeros((t_len, 18), np.float32),
+                    np.zeros(t_len, np.int32))}
+    t0 = time.perf_counter()
+    predict_windows(
+        lambda f, h: pred._predict(pred._params, pred._batch_stats, f, h)[1],
+        pd, batches(), bs, False,
+    )
+    dt_host = time.perf_counter() - t0
+    n_frames = len(starts) * cfg.clip_len
+    print(f"SN half ({len(starts)} windows): device-agg {dt_dev:.2f}s "
+          f"({n_frames/dt_dev:.0f} f/s) vs host-agg {dt_host:.2f}s "
+          f"({n_frames/dt_host:.0f} f/s)")
+    sc_h, sup_h = pd["half1"]
+    print("  max|scores diff|:", float(np.abs(sc_d - sc_h).max()),
+          " support equal:", bool((sup_d == sup_h).all()))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--snb", action="store_true")
+    p.add_argument("--agg", action="store_true")
     args = p.parse_args(argv)
+
+    if args.agg:
+        bench_aggregation()
+        return
 
     fd = TDEEDConfig(
         dataset="finediving", num_classes=4, clip_len=100, crop_dim=224,
