@@ -68,6 +68,9 @@ class GSM(nn.Module):
             features=2,
             kernel_size=(3, 3, 3),
             feature_group_count=2,
+            # "SAME" is torch-exact here ONLY because kernel 3 / stride 1
+            # pads symmetrically (1,1); at stride 2 XLA SAME pads (0,1)
+            # and diverges from torch — see ConvBN's explicit padding.
             padding="SAME",
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,

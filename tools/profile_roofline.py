@@ -89,7 +89,7 @@ def step_time(feature_arch="rny002_gsf", iters=10, seed=0,
         jax.random.PRNGKey(0), jnp.zeros((1, T, S, S, 3), jnp.float32), False
     )
     tx = make_optimizer(8e-4, 100, 10_000)
-    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    state = TrainState.create(variables["params"], variables.get("batch_stats", {}), tx)
     step = jax.jit(make_train_step(
         model, tx, crop_dim=S, num_classes_bg=5, mixup=True,
         radi_displacement=2, acc_grad_iter=acc_grad_iter,
