@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 #  4: bright gate     5: bright factor
 #  6: contrast gate   7: contrast factor
 #  8: blur gate       9..13: blur taps k0..k4
-# 14: (unused: flip is applied outside on uint8)  15: pad
+# 14: hflip gate (lane reversal in VMEM — measured cheaper than the
+#     standalone XLA reverse+select pass it replaces)  15: pad
 N_PARAMS = 16
 
 
@@ -217,6 +218,26 @@ def _kernel(p_ref, x_ref, out_ref):
     def p(i):
         return p_ref[clip_idx, i]
 
+    # Gated horizontal flip, VMEM-local. The photometric chain commutes
+    # with flipping (per-pixel ops; frame-mean contrast and the symmetric
+    # reflect-padded blur are mirror-invariant), so flipping the INPUT here
+    # equals the reference's flip at the end of the chain
+    # (ref: model/model.py:84). Mosaic has no `rev` lowering, so the
+    # reversal is a multiply by the W x W exchange matrix on the idle MXU —
+    # a permutation matrix, hence bit-exact in fp32.
+    c, h, w = x.shape
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    # (select over i1 vectors fails to legalize in Mosaic: cast first)
+    perm = jnp.where(
+        p(14) > 0.5,
+        (rowi + coli == w - 1).astype(jnp.float32),
+        (rowi == coli).astype(jnp.float32),
+    )
+    x = jnp.dot(
+        x.reshape(c * h, w), perm, preferred_element_type=jnp.float32
+    ).reshape(c, h, w)
+
     out_ref[0, 0] = _photometric_chain(x, p, out_ref.dtype)
 
 
@@ -263,15 +284,15 @@ def train_preprocess_pallas(
     kc, kf, kp = jax.random.split(key, 3)
 
     x = random_crop_batch(frames, crop_dim, kc)
-    # per-clip horizontal flip (cheap XLA pass, keeps the kernel free of
-    # lane reversals); bf16 carries 0..255 exactly
-    flip = jax.random.uniform(kf, (bsz, 1, 1, 1, 1)) < 0.5
-    x = jnp.where(flip, x[:, :, :, ::-1, :], x)
     planar = jnp.transpose(x, (0, 1, 4, 2, 3))
     if not jnp.issubdtype(planar.dtype, jnp.integer):
         # mixup blends are fractional: stage as bf16 (integers pass as u8 —
         # Mosaic reads them via the u8->i32->f32 chain, half the traffic)
         planar = planar.astype(jnp.bfloat16)
     params = sample_params(kp, bsz)
+    # per-clip horizontal flip rides param slot 14 into the kernel (the
+    # old standalone XLA reverse+select cost ~2.9 ms/step, trace-measured)
+    flip = (jax.random.uniform(kf, (bsz,)) < 0.5).astype(jnp.float32)
+    params = params.at[:, 14].set(flip)
     out = photometric_planar(planar, params, interpret=interpret)
     return jnp.transpose(out, (0, 1, 3, 4, 2))  # (B, T, H, W, 3) bf16

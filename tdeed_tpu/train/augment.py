@@ -216,6 +216,11 @@ def mixup_batch(
     mixed = lam[:, None, None, None, None] * frames.astype(jnp.float32) + (
         1.0 - lam[:, None, None, None, None]
     ) * frames2.astype(jnp.float32)
+    # One bf16 rounding of the blended pixels — the SAME rounding the
+    # augment kernel's bf16 staging already applied downstream (kernels/
+    # augment.py); taking it here keeps every later pass (flip, transpose)
+    # at half the HBM traffic. Final values are unchanged vs round 2.
+    mixed = mixed.astype(jnp.bfloat16)
     soft, mixed_d = mixup_labels(
         labels, labels2, lam, num_classes_bg, label_d, label_d2
     )

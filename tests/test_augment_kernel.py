@@ -115,3 +115,33 @@ def test_train_preprocess_pallas_end_to_end(rng):
     assert out.shape == (2, 3, 16, 16, 3)
     assert out.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_kernel_inkernel_flip_matches_flipped_input(rng):
+    """Slot-14 hflip inside the kernel == running the chain on a
+    pre-flipped frame (the chain commutes with mirroring: per-pixel ops,
+    frame-mean contrast, symmetric reflect-padded blur)."""
+    B, T, H, W = 2, 2, 12, 16
+    frames = rng.integers(0, 256, (B, T, H, W, 3)).astype(np.uint8)
+    params = np.zeros((B, N_PARAMS), np.float32)
+    params[:, [0, 2, 4, 6, 8]] = 1.0  # all photometric gates on
+    params[:, 1] = [0.1, -0.15]
+    params[:, 3] = [0.8, 1.1]
+    params[:, 5] = [1.15, 0.75]
+    params[:, 7] = [0.9, 1.2]
+    sigma = np.array([0.8, 1.5], np.float32)
+    offs = np.arange(-2, 3, dtype=np.float32)
+    taps = np.exp(-0.5 * (offs[None] / sigma[:, None]) ** 2)
+    params[:, 9:14] = taps / taps.sum(1, keepdims=True)
+    params[:, 14] = [1.0, 0.0]  # flip clip 0 only
+
+    planar = jnp.transpose(jnp.asarray(frames), (0, 1, 4, 2, 3))
+    got = photometric_planar(planar, jnp.asarray(params), interpret=True)
+    got = np.asarray(jnp.transpose(got, (0, 1, 3, 4, 2)), np.float32)
+
+    pre_flipped = frames.copy()
+    pre_flipped[0] = pre_flipped[0][:, :, ::-1]
+    want = np.asarray(
+        _xla_chain(jnp.asarray(pre_flipped), jnp.asarray(params)), np.float32
+    )
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)

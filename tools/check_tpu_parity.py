@@ -100,6 +100,16 @@ def main():
     want = _xla_chain(jnp.asarray(frames), params)
     check("photometric", got, want, 3e-2, 3e-2)
 
+    # in-kernel hflip (slot 14): lane reversal must survive Mosaic compile
+    params[:, 14] = [1.0, 0.0]
+    got = jnp.transpose(
+        photometric_planar(planar, jnp.asarray(params)), (0, 1, 3, 4, 2)
+    ).astype(jnp.float32)
+    flipped = frames.copy()
+    flipped[0] = flipped[0][:, :, ::-1]
+    want = _xla_chain(jnp.asarray(flipped), params)
+    check("photometric + in-kernel flip", got, want, 3e-2, 3e-2)
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
