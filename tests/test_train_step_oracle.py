@@ -307,6 +307,101 @@ def test_train_step_trajectory_matches_torch(deterministic_stages):
     )
 
 
+def test_mixup_train_step_matches_torch(deterministic_stages, monkeypatch):
+    """The MIXUP training path (frame blend + soft-label weighted CE +
+    displacement-target mix, ref: model/model.py:228-319) against torch
+    with the SAME injected per-sample lambdas (Beta sampling monkeypatched
+    to fixed values). One step, identical weights: pins the soft-CE
+    routing and the bf16 blend staging end-to-end."""
+    lam_fixed = np.asarray([0.3, 0.8], np.float32)
+    monkeypatch.setattr(
+        augment, "sample_mixup_lam",
+        lambda key, batch: jnp.asarray(lam_fixed),
+    )
+
+    torch.manual_seed(4)
+    rng = np.random.default_rng(21)
+    p = ARCH_PARAMS["rny002"]
+    widths, depths, groups = generate_stages(
+        p["w0"], p["wa"], p["wm"], p["depth"], p["group_size"]
+    )
+    oracle = OracleTDEED(
+        widths, depths, groups, clip_len=T, num_classes_bg=NC_BG,
+        n_layers=N_LAYERS, ks=KS, k=K,
+    ).train()
+    converted = jax.tree.map(
+        lambda x: jnp.asarray(np.array(x), jnp.float32),
+        flax_params_from_tdeed_oracle(oracle, depths),
+    )
+
+    frames = rng.integers(0, 256, (B, T, HW, HW, 3)).astype(np.uint8)
+    frames2 = rng.integers(0, 256, (B, T, HW, HW, 3)).astype(np.uint8)
+    labels = rng.integers(0, NC_BG, (B, T)).astype(np.int32)
+    labels2 = rng.integers(0, NC_BG, (B, T)).astype(np.int32)
+    d1 = rng.uniform(-2, 2, (B, T)).astype(np.float32)
+    d2 = rng.uniform(-2, 2, (B, T)).astype(np.float32)
+
+    # ---- torch ----
+    lam = torch.from_numpy(lam_fixed).view(B, 1, 1, 1, 1)
+    blend = (
+        lam * torch.from_numpy(frames).float()
+        + (1 - lam) * torch.from_numpy(frames2).float()
+    )
+    # reproduce the documented bf16 blend staging
+    blend = blend.to(torch.bfloat16).float()
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 1, 1, 1, 3)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 1, 1, 1, 3)
+    x = ((blend / 255.0 - mean) / std).permute(0, 1, 4, 2, 3)
+    logits, pred_d = oracle(x)
+
+    lam_t = torch.from_numpy(lam_fixed).view(B, 1, 1)
+    oh = torch.nn.functional.one_hot
+    soft = lam_t * oh(torch.from_numpy(labels).long(), NC_BG) + (
+        1 - lam_t
+    ) * oh(torch.from_numpy(labels2).long(), NC_BG)
+    ce_w = torch.tensor([1.0] + [5.0] * NUM_CLASSES)
+    loss_t = F.cross_entropy(
+        logits.reshape(-1, NC_BG), soft.reshape(-1, NC_BG).float(),
+        weight=ce_w,
+    )
+    lam_d = torch.from_numpy(lam_fixed).view(B, 1)
+    mix_d = lam_d * torch.from_numpy(d1) + (1 - lam_d) * torch.from_numpy(d2)
+    loss_t = loss_t + F.mse_loss(pred_d, mix_d)
+
+    # ---- jax (the real mixup train step) ----
+    model = TDEED(
+        num_classes=NUM_CLASSES, clip_len=T, feature_arch="rny002_gsf",
+        n_layers=N_LAYERS, sgp_ks=KS, sgp_r=K, radi_displacement=1,
+        dtype=jnp.float32,
+    )
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), jnp.zeros((B, T, HW, HW, 3), jnp.float32), False
+    )
+    tx = make_optimizer(LR, warmup_steps=WARM, cosine_steps=COS)
+    state = TrainState.create(converted, variables["batch_stats"], tx)
+    step_fn = jax.jit(
+        make_train_step(
+            model, tx, crop_dim=None, num_classes_bg=NC_BG, mixup=True,
+            radi_displacement=1, pallas_augment=False,
+        )
+    )
+    batch = {
+        "frame": jnp.asarray(frames), "label": jnp.asarray(labels),
+        "labelD": jnp.asarray(d1),
+        "frame2": jnp.asarray(frames2), "label2": jnp.asarray(labels2),
+        "labelD2": jnp.asarray(d2),
+    }
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(42))
+    # 2e-3: pixels whose f32 blend lands on a bf16 rounding boundary round
+    # differently under XLA's fused multiply-add than under torch's
+    # separate mul/add — a per-pixel 1-LSB effect that propagates to ~7e-4
+    # on the loss. A wrong lambda routing or soft-label mix shifts the
+    # loss at the percent level, so the bound still discriminates.
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(loss_t.detach()), rtol=2e-3
+    )
+
+
 def test_adamw_chained_schedule_trajectory_exact():
     """AdamW + chained LinearLR*Cosine schedule + weight decay, pinned
     EXACTLY over 10 steps on a well-conditioned fixture (tiny MLP, no
