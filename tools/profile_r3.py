@@ -247,6 +247,58 @@ def _mixup_batch_bf16(frames, labels, frames2, labels2, key, num_classes_bg,
     return mixed, soft, mixed_d
 
 
+class KronConvBN(nn.Module):
+    """1x1 convs on small-C early stages as kron-packed GEMMs (EXACT).
+
+    A (N,H,W,C) @ (C,O) pointwise conv with C<=64 wastes most of the
+    128-lane registers; packing P=16 pixels per row gives a fully-packed
+    (M/P, P*C) x (P*C, P*O) GEMM against kron(I_P, W) — block-diagonal, so
+    products/accumulations are identical (off-block zeros add exact f32
+    zeros); the ~P x extra MXU FLOPs are free on this memory-bound step."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: Any = None
+
+    P = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        cin = x.shape[-1]
+        if (self.kernel_size != 1 or self.groups != 1 or cin > 64):
+            return _ORIG_CONVBN(
+                self.features, self.kernel_size, strides=self.strides,
+                groups=self.groups, act=self.act, dtype=self.dtype,
+                name="inner",
+            )(x, train)
+        kernel = self.param(
+            "kernel_", regnet_mod._conv_init, (cin, self.features)
+        )
+        if self.strides != 1:
+            x = x[:, :: self.strides, :: self.strides, :]
+        n, h, w, _ = x.shape
+        P = self.P
+        m = n * h * w
+        assert m % P == 0, (n, h, w, P)
+        kb = kernel.astype(x.dtype)
+        eye = jnp.eye(P, dtype=x.dtype)
+        wk = jnp.einsum("pq,co->pcqo", eye, kb).reshape(
+            P * cin, P * self.features
+        )
+        out = jnp.dot(
+            x.reshape(m // P, P * cin), wk,
+            preferred_element_type=jnp.float32,
+        )
+        out = out.reshape(n, h, w, self.features).astype(self.dtype or x.dtype)
+        out = SplitBatchNorm(use_running_average=not train, name="bn")(out)
+        if self.act:
+            out = nn.relu(out)
+        return out.astype(self.dtype or out.dtype)
+
+
 def run(name: str, iters: int) -> None:
     if name == "base":
         report("base (production)", step_time(iters=iters))
@@ -265,6 +317,9 @@ def run(name: str, iters: int) -> None:
     elif name == "tap-grouped":
         with patched(p=(regnet_mod, "ConvBN", TapGroupedConvBN)):
             report("grouped conv2 tap-factored", step_time(iters=iters))
+    elif name == "kron-1x1":
+        with patched(p=(regnet_mod, "ConvBN", KronConvBN)):
+            report("small-C 1x1 as kron GEMM", step_time(iters=iters))
     elif name == "conv1x1-einsum":
         with patched(p=(regnet_mod, "ConvBN", Einsum1x1ConvBN)):
             report("1x1 convs as einsum", step_time(iters=iters))
