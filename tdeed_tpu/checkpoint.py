@@ -33,15 +33,22 @@ META = "train_meta.json"
 
 def _checkpointer() -> ocp.Checkpointer:
     if jax.process_count() > 1:
-        # Checkpoint IO is process-0-only by design (cli/train.py gates all
-        # saves on is_main). Orbax's default save/restore synchronizes ALL
-        # processes — a main-only call would hang on that barrier — so
-        # restrict its active set to process 0: the trees it sees are
-        # already host numpy (host_replica), nothing collective remains.
+        # Checkpoint IO is per-process-local by design: SAVES run on
+        # process 0 only (cli/train.py gates them on is_main), while
+        # RESTORES (--resume, restore_best) may run on any process reading
+        # a complete checkpoint. Orbax's default save/restore synchronizes
+        # ALL processes — a single-process call would hang on that barrier
+        # — so scope each process to itself, with a per-process barrier
+        # namespace (two single-process checkpointers sharing barrier keys
+        # would cross-talk through the coordination service). The trees it
+        # sees are already host numpy (host_replica): nothing collective
+        # remains.
+        pid = jax.process_index()
         return ocp.Checkpointer(
             ocp.PyTreeCheckpointHandler(),
             multiprocessing_options=ocp.options.MultiprocessingOptions(
-                primary_host=0, active_processes={0}
+                primary_host=pid, active_processes={pid},
+                barrier_sync_key_prefix=f"proc{pid}",
             ),
         )
     return ocp.PyTreeCheckpointer()

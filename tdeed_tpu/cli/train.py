@@ -489,9 +489,20 @@ def main(argv=None) -> None:
                 save_state(os.path.join(ckpt.save_dir, LAST), state)
             raise
 
+    def _final_sync():
+        # Multi-host: every process must reach interpreter exit together —
+        # jax.distributed's shutdown barrier times out (and kills the
+        # survivors) if non-main processes exit while main is still running
+        # the minutes-long test tail.
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("tdeed:final")
+
     # --- test ----------------------------------------------------------
     if not is_main:
         logger.finish()
+        _final_sync()
         return
     if os.path.exists(os.path.join(ckpt.save_dir, BEST)):
         restored = ckpt.restore_best()
@@ -548,6 +559,7 @@ def main(argv=None) -> None:
 
             evaluate_snb(labels_root, os.path.join(ckpt.save_dir, "preds"), split)
     logger.finish()
+    _final_sync()
     print("CORRECTLY FINISHED TRAINING AND INFERENCE")
 
 

@@ -150,6 +150,16 @@ def main():
             True, val_losses[-1],
         )
 
+    # EVERY process restores (the CLI's --resume path): per-process orbax
+    # scoping must let a lone process read without a global barrier. Sync
+    # first so non-main doesn't race the write.
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("harness:ckpt-written")
+    restored = ckpt.restore_best()
+    assert "params" in restored and "conv" in restored["params"]
+
     # Main-only PROCESS-LOCAL eval: the round-2 deadlock shape was predict
     # on globally-replicated params from process 0 alone. Pull the local
     # replica and run a local program; other processes do not participate.
@@ -173,6 +183,11 @@ def main():
             },
             open(out_path, "w"),
         )
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        # mirror cli/train.py's final sync: all processes exit together
+        multihost_utils.sync_global_devices("harness:final")
     print(f"harness done (process {jax.process_index()})")
 
 
