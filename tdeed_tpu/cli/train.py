@@ -42,6 +42,12 @@ def get_args(argv=None) -> argparse.Namespace:
                         help="limit the data-parallel mesh (default: all local devices)")
     parser.add_argument("--no_wandb", action="store_true")
     parser.add_argument(
+        "--profile_dir", default=None,
+        help="capture a jax.profiler device trace of the first training "
+             "steps of each run into this directory (works on the TPU "
+             "backend; inspect with tools/trace_attrib.py)",
+    )
+    parser.add_argument(
         "--distributed", action="store_true",
         help="call jax.distributed.initialize() for multi-host DP "
              "(coordinator/process env from the launcher, e.g. TPU pod "
@@ -387,14 +393,33 @@ def main(argv=None) -> None:
         # double-buffered H2D: decode/assembly overlaps device compute
         return device_prefetch(map(place, iterator), sharding=None, depth=2)
 
+    profiled = {"done": args.profile_dir is None}
+
     def run_train_epoch(epoch: int, start_batch: int = 0) -> float:
         nonlocal state
         # Loss scalars stay on device until the epoch ends: a float() per
         # step would block the dispatch pipeline that device_prefetch fills.
         losses = []
-        for batch in placed(train_loader.epoch(epoch, start_batch=start_batch)):
+        trace = None
+        for i, batch in enumerate(
+            placed(train_loader.epoch(epoch, start_batch=start_batch))
+        ):
+            if not profiled["done"] and i == 1:  # skip the compile step
+                trace = jax.profiler.trace(args.profile_dir)
+                trace.__enter__()
             state, metrics = train_step(state, batch, step_rng)
             losses.append(metrics["loss"])
+            if trace is not None and i == 4:
+                jax.block_until_ready(metrics["loss"])
+                trace.__exit__(None, None, None)
+                trace = None
+                profiled["done"] = True
+                print(f"profiler trace -> {args.profile_dir} "
+                      "(tools/trace_attrib.py to attribute)")
+        if trace is not None:  # short epoch: close the span
+            jax.block_until_ready(losses[-1])
+            trace.__exit__(None, None, None)
+            profiled["done"] = True
         if not losses:
             return 0.0
         return float(np.mean(jax.device_get(losses)))

@@ -125,6 +125,10 @@ class BatchLoader:
         self.global_batch_size = global_batch_size or batch_size
         self.shard_offset = shard_offset
         assert self.shard_offset + batch_size <= self.global_batch_size
+        # Sample RNGs are keyed base*1e6+3 + batch*1009 + global_row: rows
+        # must stay below the batch multiplier or keys collide across
+        # neighbouring batches.
+        assert self.global_batch_size < 1009, self.global_batch_size
         self.num_batches = max(1, dataset_len // self.global_batch_size)
         self.num_workers = num_workers
         self.prefetch = prefetch

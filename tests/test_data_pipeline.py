@@ -178,3 +178,29 @@ def test_loader_abandoned_epoch_releases_producer(plan):
     assert threading.active_count() <= before + 1, (
         threading.active_count(), before
     )
+
+
+def test_batchloader_shard_union_equals_single_host():
+    """Host h's loader materializes rows [h*local, (h+1)*local) of the SAME
+    global epoch plan: concatenating the shards reproduces the single-host
+    batches bit-for-bit (cli/train.py multi-host contract)."""
+    import numpy as np
+
+    from tdeed_tpu.data.loader import BatchLoader
+
+    class Stub:
+        def sample(self, rng):
+            return {"x": np.asarray([rng.randint(0, 10**9)], np.int64)}
+
+    full = BatchLoader(Stub(), 4, dataset_len=16, num_workers=2, seed=9)
+    shard0 = BatchLoader(Stub(), 2, dataset_len=16, num_workers=2, seed=9,
+                         global_batch_size=4, shard_offset=0)
+    shard1 = BatchLoader(Stub(), 2, dataset_len=16, num_workers=2, seed=9,
+                         global_batch_size=4, shard_offset=2)
+    for epoch in range(2):
+        want = [b["x"] for b in full.epoch(epoch)]
+        got0 = [b["x"] for b in shard0.epoch(epoch)]
+        got1 = [b["x"] for b in shard1.epoch(epoch)]
+        assert len(want) == len(got0) == len(got1) == 4
+        for w, a, b in zip(want, got0, got1):
+            np.testing.assert_array_equal(w, np.concatenate([a, b]))
