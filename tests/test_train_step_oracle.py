@@ -481,3 +481,55 @@ def test_adamw_chained_schedule_trajectory_exact():
     np.testing.assert_allclose(
         np.asarray(params["w2"]), tw2.detach().numpy().T, atol=1e-6
     )
+
+
+def test_rny008_full_model_forward_matches_torch():
+    """The _big config family's backbone (rny008, group width 16, 14
+    blocks, feat 768) composed into the full model, eval-mode forward vs
+    the torch oracle with identical weights — the rny002 tests don't cover
+    its distinct widths/grouping/fold dims (ref: model/model.py:41-46)."""
+    torch.manual_seed(8)
+    rng = np.random.default_rng(31)
+    p = ARCH_PARAMS["rny008"]
+    widths, depths, groups = generate_stages(
+        p["w0"], p["wa"], p["wm"], p["depth"], p["group_size"]
+    )
+    oracle = OracleTDEED(
+        widths, depths, groups, clip_len=4, num_classes_bg=NC_BG,
+        n_layers=1, ks=KS, k=K,
+    ).eval()
+
+    frames = rng.integers(0, 256, (1, 4, 32, 32, 3)).astype(np.uint8)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 1, 3, 1, 1)
+    x = torch.from_numpy(frames).float().permute(0, 1, 4, 2, 3) / 255.0
+    with torch.no_grad():
+        logits_t, displ_t = oracle((x - mean) / std)
+
+    model = TDEED(
+        num_classes=NUM_CLASSES, clip_len=4, feature_arch="rny008_gsf",
+        n_layers=1, sgp_ks=KS, sgp_r=K, radi_displacement=1,
+        dtype=jnp.float32,
+    )
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32, 3), jnp.float32), False
+    )
+    converted = jax.tree.map(
+        lambda x_: jnp.asarray(np.array(x_), jnp.float32),
+        flax_params_from_tdeed_oracle(oracle, depths),
+    )
+    fi = flatten_dict(variables["params"])
+    fc = flatten_dict(converted)
+    assert set(fi) == set(fc), set(fi) ^ set(fc)
+
+    xj = augment.standardize(jnp.asarray(frames).astype(jnp.float32) / 255.0)
+    out = model.apply(
+        {"params": converted, "batch_stats": variables["batch_stats"]},
+        xj, False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), logits_t.numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["displ"]), displ_t.numpy(), atol=2e-4, rtol=1e-3
+    )
