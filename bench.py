@@ -139,6 +139,38 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     fps_per_chip = b * CLIP_LEN * BENCH_STEPS / dt / n_chips
+
+    # --- inference throughput (same model, eval protocol batch 4 -------
+    # ref: util/eval.py:32), dedup-proof by chaining each call's input to
+    # the previous call's output (CLAUDE.md measurement rule).
+    from tdeed_tpu.train.step import make_predict_step
+
+    predict = make_predict_step(
+        model, crop_dim=CROP, radi_displacement=cfg.radi_displacement
+    )
+
+    @jax.jit
+    def chained_predict(params, stats, frames, salt):
+        frames = (frames + salt).astype(jnp.uint8)
+        _, probs = predict(params, stats, frames, False)
+        return probs, (probs.sum() * 1e3).astype(jnp.int32) % 3
+
+    pb = 4
+    pframes = jnp.asarray(
+        r.integers(0, 253, (pb, CLIP_LEN, FRAME_SIZE, FRAME_SIZE, 3), np.uint8)
+    )
+    params, stats = state.params, state.batch_stats
+    salt = jnp.int32(0)
+    probs, salt = chained_predict(params, stats, pframes, salt)
+    probs, salt = chained_predict(params, stats, pframes, salt)
+    jax.block_until_ready(probs)
+    t0 = time.perf_counter()
+    infer_iters = 20
+    for _ in range(infer_iters):
+        probs, salt = chained_predict(params, stats, pframes, salt)
+    jax.block_until_ready(probs)
+    infer_fps = pb * CLIP_LEN * infer_iters / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -146,6 +178,7 @@ def main() -> None:
                 "value": round(fps_per_chip, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps_per_chip / A100_BASELINE_FPS, 3),
+                "infer_frames_per_sec_per_chip": round(infer_fps, 1),
             }
         )
     )
