@@ -271,14 +271,14 @@ class SpottingPredictor:
         support = support.copy()
         support[support == 0] = 1
         probs = scores / support[:, None]
-        events = []
-        for t in range(t_len):
-            for c in range(1, probs.shape[1]):
-                if probs[t, c] >= threshold:
-                    events.append(
-                        {"label": self.classes_inv[c], "frame": t,
-                         "score": float(probs[t, c])}
-                    )
+        # vectorized event extraction (frame-major, class-ascending order,
+        # same as the t/c loop it replaces)
+        tt, cc = np.nonzero(probs[:, 1:] >= threshold)
+        events = [
+            {"label": self.classes_inv[int(c) + 1], "frame": int(t),
+             "score": float(probs[t, c + 1])}
+            for t, c in zip(tt, cc)
+        ]
         pred = [{"video": video, "events": events,
                  "fps": FPS_SN / stride if self.spec.external_labels else None}]
         windows = self.spec.windows
