@@ -53,6 +53,31 @@ def _shift3(a: jax.Array, d: Tuple[int, int, int]) -> jax.Array:
 _TAPS = [(dt, dh, dw) for dt in (-1, 0, 1) for dh in (-1, 0, 1)
          for dw in (-1, 0, 1)]
 
+# Tap-plane column order for the hierarchical shift-sum: dw-major, dh,
+# dt-minor — so each reduction stage shifts CONTIGUOUS channel groups.
+# _HIER_PERM[j] = index into the (kt, kh, kw)-ordered taps for column j.
+_HIER_PERM = [
+    (dt + 1) * 9 + (dh + 1) * 3 + (dw + 1)
+    for dw in (-1, 0, 1) for dh in (-1, 0, 1) for dt in (-1, 0, 1)
+]
+
+
+def _tap_sum(z: jax.Array) -> jax.Array:
+    """sum_i shift_{d_i}(z[..., i]) for 27 taps in _HIER_PERM order,
+    re-associated as three per-axis stages over contiguous channel groups
+    (3 grouped shifts per axis instead of 27 single-plane slices — the
+    per-plane form's slices were 2.2 ms/step at the s3_b1 geometry,
+    trace-measured). Same fp32 terms, different (tree) add order."""
+
+    def sh(a, axis, off):
+        d = [0, 0, 0]
+        d[axis - 1] = off
+        return _shift3(a, tuple(d))
+
+    u = sh(z[..., 0:9], 3, -1) + z[..., 9:18] + sh(z[..., 18:27], 3, 1)
+    v = sh(u[..., 0:3], 2, -1) + u[..., 3:6] + sh(u[..., 6:9], 2, 1)
+    return sh(v[..., 0], 1, -1) + v[..., 1] + sh(v[..., 2], 1, 1)
+
 
 def gsf_gate(xn, gate_w, gate_b):
     """tanh gate (ref: gsf.py:17-18,38-44), FACTORED formulation.
@@ -76,7 +101,9 @@ def gsf_gate(xn, gate_w, gate_b):
     """
     c = xn.shape[-1]
     ch = c // 2
-    taps = gate_w.reshape(27, ch, 2)
+    # Tap planes laid out in the hierarchical (_HIER_PERM) channel order so
+    # the shift-sum reduces contiguous groups per axis.
+    taps = gate_w.reshape(27, ch, 2)[jnp.asarray(_HIER_PERM)]
     w_block = jnp.zeros((c, 54), gate_w.dtype)
     w_block = w_block.at[:ch, :27].set(jnp.transpose(taps[..., 0], (1, 0)))
     w_block = w_block.at[ch:, 27:].set(jnp.transpose(taps[..., 1], (1, 0)))
@@ -85,8 +112,8 @@ def gsf_gate(xn, gate_w, gate_b):
         preferred_element_type=jnp.float32,
     )
 
-    y1 = sum(_shift3(z[..., i], d) for i, d in enumerate(_TAPS))
-    y2 = sum(_shift3(z[..., 27 + i], d) for i, d in enumerate(_TAPS))
+    y1 = _tap_sum(z[..., :27])
+    y2 = _tap_sum(z[..., 27:])
     return jnp.tanh(jnp.stack([y1, y2], axis=-1) + gate_b)
 
 
