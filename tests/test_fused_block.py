@@ -1,0 +1,159 @@
+"""Fused early-block custom-vjp vs the plain flax composition.
+
+The fused path (tdeed_tpu/kernels/fused_block.py) must reproduce the
+production modules — stem ConvBN + stride-2 YBlock (models/regnet.py) —
+in forward values, batch-stat updates, and gradients w.r.t. every
+parameter and the input, in both fp32 and bf16. The backward is a
+hand-derived restructure (BN-through-stats included), so this is the
+ground-truth gate for the math before any Pallas lowering.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from tdeed_tpu.kernels.fused_block import make_fused_block
+from tdeed_tpu.models.regnet import ConvBN, YBlock
+
+STEM_W = 8
+BLK_W = 8
+GROUP_SIZE = 4  # groups = BLK_W // GROUP_SIZE = 2
+N, H = 4, 16
+
+
+class PlainStemBlock(nn.Module):
+    dtype: object = None
+    with_stem: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.with_stem:
+            x = ConvBN(STEM_W, 3, strides=2, dtype=self.dtype, name="stem")(x, train)
+        x = YBlock(
+            width=BLK_W,
+            in_width=STEM_W,
+            stride=2,
+            group_size=GROUP_SIZE,
+            dtype=self.dtype,
+            name="blk",
+        )(x, train)
+        return x
+
+
+def _setup(dtype, with_stem):
+    rng = np.random.default_rng(0)
+    if with_stem:
+        x = jnp.asarray(rng.normal(size=(N, H, H, 3)), dtype or jnp.float32)
+    else:
+        x = jnp.asarray(rng.normal(size=(N, H, H, STEM_W)), dtype or jnp.float32)
+    model = PlainStemBlock(dtype=dtype, with_stem=with_stem)
+    variables = model.init(jax.random.PRNGKey(1), x, False)
+    # non-trivial BN params so stat gradients actually matter
+    params = jax.tree.map(
+        lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+        variables["params"],
+    )
+    fused = make_fused_block(
+        groups=BLK_W // GROUP_SIZE, with_stem=with_stem, use_pallas=False
+    )
+    fused_p = dict(params)
+    if with_stem:
+        fused_p = {"stem": params["stem"], "blk": params["blk"]}
+    else:
+        fused_p = {"blk": params["blk"]}
+    return model, variables, params, fused, fused_p, x
+
+
+def _tols(dtype):
+    return dict(rtol=2e-2, atol=2e-2) if dtype == jnp.bfloat16 else dict(rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+@pytest.mark.parametrize("with_stem", [True, False])
+def test_forward_and_stats_match(dtype, with_stem):
+    model, variables, params, fused, fused_p, x = _setup(dtype, with_stem)
+    out_plain, upd = model.apply(
+        {"params": params, "batch_stats": variables["batch_stats"]},
+        x, True, mutable=["batch_stats"],
+    )
+    out_fused, stats = fused(x, fused_p)
+    np.testing.assert_allclose(
+        np.asarray(out_plain, np.float32), np.asarray(out_fused, np.float32),
+        **_tols(dtype),
+    )
+    # running updates: new = 0.9 old + 0.1 batch (SplitBatchNorm momentum)
+    old = variables["batch_stats"]
+    layers = {
+        "conv1": ("blk", "conv1"), "conv2": ("blk", "conv2"),
+        "conv3": ("blk", "conv3"), "downsample": ("blk", "downsample"),
+    }
+    if with_stem:
+        layers["stem"] = ("stem",)
+    for key, path in layers.items():
+        node_new = upd["batch_stats"]
+        node_old = old
+        for p_ in path:
+            node_new, node_old = node_new[p_], node_old[p_]
+        m, v = stats[key]
+        np.testing.assert_allclose(
+            np.asarray(node_new["bn"]["mean"]),
+            np.asarray(0.9 * node_old["bn"]["mean"] + 0.1 * m),
+            **_tols(dtype),
+        )
+        np.testing.assert_allclose(
+            np.asarray(node_new["bn"]["var"]),
+            np.asarray(0.9 * node_old["bn"]["var"] + 0.1 * v),
+            **_tols(dtype),
+        )
+
+
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+@pytest.mark.parametrize("with_stem", [True, False])
+def test_gradients_match(dtype, with_stem):
+    model, variables, params, fused, fused_p, x = _setup(dtype, with_stem)
+    rng = np.random.default_rng(7)
+
+    def probe(out):
+        w = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    rng = np.random.default_rng(7)
+
+    def loss_plain(p, x_):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            x_, True, mutable=["batch_stats"],
+        )
+        return probe(out)
+
+    rng = np.random.default_rng(7)
+
+    def loss_fused(p, x_):
+        fp = {"stem": p["stem"], "blk": p["blk"]} if with_stem else {"blk": p["blk"]}
+        out, _ = fused(x_, fp)
+        return probe(out)
+
+    rng = np.random.default_rng(7)
+    gp_plain, gx_plain = jax.grad(loss_plain, argnums=(0, 1))(params, x)
+    rng = np.random.default_rng(7)
+    gp_fused, gx_fused = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(gp_plain)
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(gp_fused)[0])
+    tols = _tols(dtype)
+    for path, leaf in flat_p:
+        got = flat_f[path]
+        ref = np.asarray(leaf, np.float32)
+        den = max(1e-3, float(np.abs(ref).max()))
+        err = float(np.abs(np.asarray(got, np.float32) - ref).max()) / den
+        assert err < tols["rtol"] * 5 + 1e-6, (
+            f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(gx_plain, np.float32), np.asarray(gx_fused, np.float32),
+        **tols,
+    )
