@@ -100,6 +100,7 @@ class TDEEDConfig:
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     data_axis: str = "data"  # mesh axis name for data parallelism
     checkpoint_backbone: bool = False  # jax.checkpoint the backbone (remat)
+    fuse_entry: bool = False  # fused custom-VJP entry blocks (kernels/fused_block.py)
     pallas_augment: Optional[bool] = None  # fused photometric kernel (None=auto)
     decoder: str = "auto"  # 'auto' | 'native' | 'pil' | 'cv2'
 

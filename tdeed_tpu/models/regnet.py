@@ -17,6 +17,7 @@ so the weight converter is a pure name map.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -167,18 +168,58 @@ class YBlock(nn.Module):
         return nn.relu(out + shortcut).astype(out.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_entry_fn(groups: int, with_stem: bool):
+    from tdeed_tpu.kernels.fused_block import make_fused_block
+
+    return make_fused_block(groups=groups, with_stem=with_stem)
+
+
 class RegNetY(nn.Module):
     """RegNet-Y trunk -> global-average-pooled features (N, D).
 
     arch: 'rny002' | 'rny008' (timm regnety_002/regnety_008 topology).
     shift_mode/clip_len: inject GatedShift in all blocks of stages 3 and 4
     only (ref: model/shift.py:57-59).
+    fuse_entry: route stem+s1_b1 and s2_b1 through the recompute-in-backward
+    custom VJP (kernels/fused_block.py) on the training path. Param and
+    batch_stats trees are unchanged (the fused path reads the same
+    variables), so checkpoints, the timm importer, and eval are unaffected.
     """
 
     arch: str = "rny002"
     shift_mode: Optional[str] = None
     clip_len: int = 0
+    fuse_entry: bool = False
     dtype: Any = None
+
+    def _apply_fused(self, x, w: int, g: int, with_stem: bool, block: str):
+        """Run [stem ->] entry block `block` via the fused custom VJP and
+        write the momentum-mixed running stats the plain path would have."""
+        fn = _fused_entry_fn(w // g, with_stem)
+        params = self.variables["params"]
+        old = self.variables["batch_stats"]
+        p = {"blk": params[block]}
+        if with_stem:
+            p["stem"] = params["stem"]
+        x, stats = fn(x, p)
+
+        mom = SplitBatchNorm.momentum
+        def mix(old_bn, mv):
+            m, v = mv
+            return {"bn": {
+                "mean": mom * old_bn["bn"]["mean"] + (1 - mom) * m,
+                "var": mom * old_bn["bn"]["var"] + (1 - mom) * v,
+            }}
+
+        if with_stem:
+            self.put_variable("batch_stats", "stem", mix(old["stem"], stats["stem"]))
+        self.put_variable(
+            "batch_stats", block,
+            {k: mix(old[block][k], stats[k])
+             for k in ("conv1", "conv2", "conv3", "downsample")},
+        )
+        return x
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -186,20 +227,29 @@ class RegNetY(nn.Module):
         widths, depths, groups = generate_stages(
             p["w0"], p["wa"], p["wm"], p["depth"], p["group_size"]
         )
-        x = ConvBN(STEM_WIDTH, 3, strides=2, dtype=self.dtype, name="stem")(x, train)
+        fused = self.fuse_entry and train and not self.is_initializing()
+        if not fused:
+            x = ConvBN(STEM_WIDTH, 3, strides=2, dtype=self.dtype, name="stem")(
+                x, train
+            )
         in_w = STEM_WIDTH
         for si, (w, d, g) in enumerate(zip(widths, depths, groups)):
             use_shift = self.shift_mode is not None and si >= 2
             for bi in range(d):
-                x = YBlock(
-                    width=w,
-                    in_width=in_w,
-                    stride=2 if bi == 0 else 1,
-                    group_size=g,
-                    shift=self.shift_mode if use_shift else None,
-                    clip_len=self.clip_len,
-                    dtype=self.dtype,
-                    name=f"s{si + 1}_b{bi + 1}",
-                )(x, train)
+                if fused and si == 0 and bi == 0:
+                    x = self._apply_fused(x, w, g, True, "s1_b1")
+                elif fused and si == 1 and bi == 0:
+                    x = self._apply_fused(x, w, g, False, "s2_b1")
+                else:
+                    x = YBlock(
+                        width=w,
+                        in_width=in_w,
+                        stride=2 if bi == 0 else 1,
+                        group_size=g,
+                        shift=self.shift_mode if use_shift else None,
+                        clip_len=self.clip_len,
+                        dtype=self.dtype,
+                        name=f"s{si + 1}_b{bi + 1}",
+                    )(x, train)
                 in_w = w
         return jnp.mean(x, axis=(1, 2))  # (N, D)

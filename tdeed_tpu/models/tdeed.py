@@ -37,6 +37,7 @@ class TDEED(nn.Module):
     radi_displacement: int = 2
     two_heads: Optional[Sequence[int]] = None  # (C1+1, C2+1) incl. backgrounds
     checkpoint_backbone: bool = False
+    fuse_entry: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -58,6 +59,7 @@ class TDEED(nn.Module):
             arch=arch,
             shift_mode=shift_mode,
             clip_len=self.clip_len,
+            fuse_entry=self.fuse_entry,
             dtype=self.dtype,
             name="features",
         )
@@ -114,5 +116,6 @@ def build_model(cfg, two_heads=None) -> TDEED:
         radi_displacement=cfg.radi_displacement,
         two_heads=two_heads,
         checkpoint_backbone=cfg.checkpoint_backbone,
+        fuse_entry=cfg.fuse_entry,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )

@@ -17,7 +17,7 @@ import pytest
 from flax import linen as nn
 
 from tdeed_tpu.kernels.fused_block import make_fused_block
-from tdeed_tpu.models.regnet import ConvBN, YBlock
+from tdeed_tpu.models.regnet import ConvBN, RegNetY, YBlock
 
 STEM_W = 8
 BLK_W = 8
@@ -157,3 +157,67 @@ def test_gradients_match(dtype, with_stem):
         np.asarray(gx_plain, np.float32), np.asarray(gx_fused, np.float32),
         **tols,
     )
+
+
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+def test_regnet_fuse_entry_equivalence(dtype):
+    """Full rny002 trunk (gsf shift in s3/s4): fuse_entry=True must match the
+    plain trunk in forward, every running-stat update, and every gradient."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 3)), dtype or jnp.float32)
+
+    def build(fuse):
+        return RegNetY(
+            arch="rny002", shift_mode="gsf", clip_len=2, fuse_entry=fuse,
+            dtype=dtype,
+        )
+
+    plain, fused = build(False), build(True)
+    variables = plain.init(jax.random.PRNGKey(0), x, False)
+    # fused init must produce the identical tree (it takes the plain path)
+    v2 = fused.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+
+    out_p, upd_p = plain.apply(variables, x, True, mutable=["batch_stats"])
+    out_f, upd_f = fused.apply(variables, x, True, mutable=["batch_stats"])
+    tols = _tols(dtype)
+    np.testing.assert_allclose(
+        np.asarray(out_p, np.float32), np.asarray(out_f, np.float32), **tols
+    )
+    assert jax.tree_util.tree_structure(upd_p) == jax.tree_util.tree_structure(upd_f)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(upd_p)[0],
+        jax.tree_util.tree_flatten_with_path(upd_f)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), err_msg=jax.tree_util.keystr(path), **tols
+        )
+
+    w = jnp.asarray(rng.normal(size=out_p.shape), jnp.float32)
+
+    def loss(model):
+        def f(p, x_):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x_, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32) * w)
+        return f
+
+    gp_p, gx_p = jax.grad(loss(plain), argnums=(0, 1))(variables["params"], x)
+    gp_f, gx_f = jax.grad(loss(fused), argnums=(0, 1))(variables["params"], x)
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(gp_f)[0])
+    for path, leaf in jax.tree_util.tree_flatten_with_path(gp_p)[0]:
+        ref = np.asarray(leaf, np.float32)
+        got = np.asarray(flat_f[path], np.float32)
+        den = max(1e-3, float(np.abs(ref).max()))
+        err = float(np.abs(got - ref).max()) / den
+        assert err < tols["rtol"] * 5 + 1e-6, (
+            f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
+        )
+    # input grad: fp32 reduction-order noise scales with |g|~1e5 here, so
+    # compare max-relative like the params, not elementwise allclose
+    ref = np.asarray(gx_p, np.float32)
+    got = np.asarray(gx_f, np.float32)
+    err = float(np.abs(got - ref).max()) / max(1e-3, float(np.abs(ref).max()))
+    assert err < tols["rtol"] * 5 + 1e-6, f"input grad rel err {err:.3e}"
