@@ -40,6 +40,7 @@ def main():
         dataset="finediving", num_classes=4, clip_len=T, crop_dim=S,
         feature_arch="rny002_gsf", n_layers=2, sgp_ks=7, sgp_r=4,
         radi_displacement=2,
+        fuse_entry=os.environ.get("FUSE_ENTRY", "") == "1",
     )
     model = build_model(cfg)
     r = np.random.default_rng(0)
