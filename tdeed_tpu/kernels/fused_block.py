@@ -41,6 +41,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 BN_EPS = 1e-5
 
@@ -173,6 +174,212 @@ def _conv_dx(dv, w, x_shape, dtype, stride=1, pad=0, groups=1):
 
 
 # ---------------------------------------------------------------------------
+# Pallas P2: the single-pass heavy backward
+# ---------------------------------------------------------------------------
+#
+# The early activations are laid out batch-minor by XLA:TPU ({0,3,2,1}:
+# physical H, W, C, N — probed from the compiled step HLO), so the kernel
+# works on the free bitcast-transpose (H, W, C, N) with N riding the
+# 128-lane dim. Device-trace microbenchmarks (tools/profile_pallas_probe.py)
+# show this streams at ~586 GB/s with the per-pixel (Cin,C)@(C,N) MXU dots
+# and the (.,N)@(N,.) outer-product dW accumulation hiding almost entirely
+# behind the DMA (+0.1/+0.2 ms per full pass).
+#
+# One pass over (v1, g1, xin|vs, dvd) produces, per entry block:
+#   dx   = conv1_dx(dv1) + upsample(downsample_dx(dvd))   [written once]
+#   dW1  = xin^T dv1,  dWd = xin_even^T dvd               [VMEM accums]
+#   and for the stem unit also the stem-BN backward sums
+#   S0s = sum(dzs), S1s = sum(dzs * vs) with dzs = relu'(zs) * dx,
+# where dv1 = relu'(z1)*g1*a1 + (v1*k1 + k0) is computed in-register —
+# eliminating XLA's duplicate operand-fusion materializations of dv1 (2x)
+# and relu(stem) (4x) that the trace attributed ~7 ms of the step to.
+
+
+def _p2_pallas_call(v1t, g1t, xt, dvdt, ab1, kk, asbs, w1, wd,
+                    *, with_stem: bool, interpret: bool):
+    """The raw pallas_call in the transposed (H, W, C, N) view.
+
+    v1t/g1t: (H, W, C, N) bf16; xt: (H, W, Cin, N) bf16 (stem conv output
+    when with_stem — xin is recomputed in-register — else the block input);
+    dvdt: (H/2, W/2, C, N) bf16; ab1: (2, C, 1) bf16 (a1, b1); kk: (2, C, 1)
+    f32 (k1, k0); asbs: (2, Cin, 1) bf16 (stem fold) or None; w1/wd:
+    (Cin, C) bf16.
+    """
+    H_, W_, C, Nn = v1t.shape
+    Cin = xt.shape[2]
+    wb = W_ // 2
+    assert W_ % 2 == 0 and H_ % 2 == 0, (H_, W_)
+    nb = min(256, Nn)
+    n_steps = -(-Nn // nb)
+    grid = (2, n_steps, H_)  # h minor: consecutive h pairs share the dvd row
+    f32 = jnp.float32
+    cdt = v1t.dtype  # compute dtype (bf16 in production, f32 in fp32 tests)
+
+    def kernel(*refs):
+        if with_stem:
+            (ab1_ref, kk_ref, asbs_ref, w1_ref, wd_ref,
+             v_ref, g_ref, x_ref, dvd_ref,
+             dx_ref, dw1_ref, dwd_ref, s0_ref, s1_ref) = refs
+        else:
+            (ab1_ref, kk_ref, w1_ref, wd_ref,
+             v_ref, g_ref, x_ref, dvd_ref,
+             dx_ref, dw1_ref, dwd_ref) = refs
+        j, nbi, h = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        @pl.when((j == 0) & (nbi == 0) & (h == 0))
+        def _():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            dwd_ref[...] = jnp.zeros_like(dwd_ref)
+            if with_stem:
+                s0_ref[...] = jnp.zeros_like(s0_ref)
+                s1_ref[...] = jnp.zeros_like(s1_ref)
+
+        a1 = ab1_ref[0]  # (C, 1) bf16
+        b1 = ab1_ref[1]
+        k1 = kk_ref[0]   # (C, 1) f32
+        k0 = kk_ref[1]
+        w1v = w1_ref[...]
+        wdv = wd_ref[...]
+        # lane validity (N tail of the last n-block)
+        okc = jax.lax.broadcasted_iota(jnp.int32, (C, nb), 1) + nbi * nb < Nn
+        okcin = jax.lax.broadcasted_iota(jnp.int32, (Cin, nb), 1) + nbi * nb < Nn
+        h_even = h % 2 == 0
+        zb = jnp.zeros((), cdt)
+
+        def body(i, carry):
+            dw1_acc, dwd_acc, s0_acc, s1_acc = carry
+            v = v_ref[0, i]   # (C, nb) bf16
+            g = g_ref[0, i]
+            pre = v * a1 + b1
+            dz = jnp.where((pre > 0) & okc, g, zb)
+            dv1 = dz * a1 + (v.astype(f32) * k1 + k0).astype(cdt)
+            dv1 = jnp.where(okc, dv1, zb)
+            if with_stem:
+                vs = x_ref[0, i]  # (Cin, nb) stem conv out
+                pres = vs * asbs_ref[0] + asbs_ref[1]
+                xin = jnp.maximum(pres, zb)
+            else:
+                xin = x_ref[0, i]
+            xin = jnp.where(okcin, xin, zb)
+
+            dx_i = jax.lax.dot(w1v, dv1, preferred_element_type=f32)
+            dw1_acc = dw1_acc + jax.lax.dot_general(
+                xin, dv1, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+
+            # downsample (1x1 stride-2): contributes at even (h, w) only.
+            # The dot always runs (measured free behind the DMA stream); the
+            # result is gated to zero elsewhere.
+            dvd_i = jnp.where(okc, dvd_ref[0, i // 2], zb)
+            gate = jnp.where(h_even & (i % 2 == 0), jnp.float32(1), jnp.float32(0))
+            dx_i = dx_i + gate * jax.lax.dot(
+                wdv, dvd_i, preferred_element_type=f32
+            )
+            dwd_acc = dwd_acc + gate * jax.lax.dot_general(
+                xin, dvd_i, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+            dx_b = dx_i.astype(cdt)
+            dx_ref[0, i] = dx_b
+
+            if with_stem:
+                # stem BN sums from the bf16-rounded dx (bit-matches the
+                # jnp path, which reads back the materialized bf16 dx)
+                dzs = jnp.where(
+                    (pres > 0) & okcin, dx_b.astype(f32), jnp.float32(0)
+                )
+                s0_acc = s0_acc + dzs
+                s1_acc = s1_acc + dzs * jnp.where(okcin, vs, zb).astype(f32)
+            return dw1_acc, dwd_acc, s0_acc, s1_acc
+
+        z_cc = jnp.zeros((Cin, C), f32)
+        z_cn = jnp.zeros((Cin, nb), f32)
+        dw1_acc, dwd_acc, s0_acc, s1_acc = jax.lax.fori_loop(
+            0, wb, body, (z_cc, z_cc, z_cn, z_cn)
+        )
+        dw1_ref[...] += dw1_acc
+        dwd_ref[...] += dwd_acc
+        if with_stem:
+            s0_ref[...] += jnp.sum(s0_acc, axis=1, keepdims=True)
+            s1_ref[...] += jnp.sum(s1_acc, axis=1, keepdims=True)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda j, nbi, h: (0,) * len(shape))
+    big = lambda cdim: pl.BlockSpec(
+        (1, wb, cdim, nb), lambda j, nbi, h: (h, j, 0, nbi)
+    )
+    dvd_spec = pl.BlockSpec(
+        (1, wb // 2, C, nb), lambda j, nbi, h: (h // 2, j, 0, nbi)
+    )
+    in_specs = [const((2, C, 1)), const((2, C, 1))]
+    args = [ab1, kk]
+    if with_stem:
+        in_specs.append(const((2, Cin, 1)))
+        args.append(asbs)
+    in_specs += [const((Cin, C)), const((Cin, C)), big(C), big(C), big(Cin),
+                 dvd_spec]
+    args += [w1, wd, v1t, g1t, xt, dvdt]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((H_, W_, Cin, Nn), cdt),
+        jax.ShapeDtypeStruct((Cin, C), f32),
+        jax.ShapeDtypeStruct((Cin, C), f32),
+    ]
+    out_specs = [big(Cin), const((Cin, C)), const((Cin, C))]
+    if with_stem:
+        out_shape += [jax.ShapeDtypeStruct((Cin, 1), f32)] * 2
+        out_specs += [const((Cin, 1))] * 2
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+
+def p2_backward(v1, g1, x_or_vs, dvd, blk, m1, var1, stem=None,
+                *, interpret: bool = False):
+    """Single-pass heavy backward (see module docstring).
+
+    All activations NHWC. ``blk``/``stem`` are the parameter trees;
+    (m1, var1) the conv1 batch stats needed for the fold. Returns
+    (dx, dW1, dWd) and, when ``stem`` is given (with_stem unit),
+    additionally (S0s, S1s) — the stem BN backward global sums.
+
+    The k0/k1 BN-through-stats coefficients must be computed by the caller
+    (they depend on the P1 global sums) and are passed via ``blk['_k']``.
+    """
+    k0, k1 = blk["_k"]
+    dtype = v1.dtype
+    _, a1, b1 = _fold(m1, var1, blk["conv1"]["bn"]["scale"],
+                      blk["conv1"]["bn"]["bias"], dtype)
+    t = lambda a: jnp.transpose(a, (1, 2, 3, 0))
+    w1 = blk["conv1"]["conv"]["kernel"][0, 0].astype(dtype)   # (Cin, C)
+    wd = blk["downsample"]["conv"]["kernel"][0, 0].astype(dtype)
+    C = w1.shape[1]
+    Cin = w1.shape[0]
+    ab1 = jnp.stack([a1, b1]).reshape(2, C, 1)
+    kk = jnp.stack([k1.astype(jnp.float32),
+                    k0.astype(jnp.float32)]).reshape(2, C, 1)
+    if stem is not None:
+        a_s, b_s = stem["_fold"]
+        asbs = jnp.stack([a_s, b_s]).reshape(2, Cin, 1)
+    else:
+        asbs = None
+    outs = _p2_pallas_call(
+        t(v1), t(g1), t(x_or_vs), t(dvd), ab1, kk, asbs, w1, wd,
+        with_stem=stem is not None, interpret=interpret,
+    )
+    dx = jnp.transpose(outs[0], (3, 0, 1, 2))
+    dW1 = outs[1].reshape(1, 1, Cin, C)
+    dWd = outs[2].reshape(1, 1, Cin, C)
+    if stem is not None:
+        return dx, dW1, dWd, outs[3][:, 0], outs[4][:, 0]
+    return dx, dW1, dWd
+
+
+# ---------------------------------------------------------------------------
 # The fused op factory
 # ---------------------------------------------------------------------------
 
@@ -265,13 +472,27 @@ def make_fused_block(
             S0, S1, m1, var1, blk["conv1"]["bn"]["scale"], n1
         )
 
-        # P2: one pass over (v1, dv2, xin/vs, dvd) -> dv1, dW1, dWd, dx.
-        dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
-        dW1 = _conv_dw(xin, dv1, w1.shape)
-        dWd = _conv_dw(xin, dvd, wd.shape, stride=2, pad=0)
-        dx = _conv_dx(dv1, w1, xin.shape, dtype) + _conv_dx(
-            dvd, wd, xin.shape, dtype, stride=2, pad=0
-        )
+        # P2: one pass over (v1, g1, xin|vs, dvd) -> dv1, dW1, dWd, dx
+        # (and, with a stem, the stem BN backward sums).
+        S0s = S1s = None
+        if use_pallas:
+            blk_k = {**blk, "_k": (k0, k1)}
+            if with_stem:
+                dx, dW1, dWd, S0s, S1s = p2_backward(
+                    v1, g1, vs, dvd, blk_k, m1, var1,
+                    {"_fold": (a_s, b_s)}, interpret=interpret,
+                )
+            else:
+                dx, dW1, dWd = p2_backward(
+                    v1, g1, xin, dvd, blk_k, m1, var1, interpret=interpret
+                )
+        else:
+            dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
+            dW1 = _conv_dw(xin, dv1, w1.shape)
+            dWd = _conv_dw(xin, dvd, wd.shape, stride=2, pad=0)
+            dx = _conv_dx(dv1, w1, xin.shape, dtype) + _conv_dx(
+                dvd, wd, xin.shape, dtype, stride=2, pad=0
+            )
 
         d_blk = dict(d_blk_tail)
         d_blk["conv1"] = {
@@ -290,9 +511,12 @@ def make_fused_block(
         if with_stem:
             ns = float(np.prod(vs.shape[:-1]))
             dzs = jnp.where(vs * a_s + b_s > 0, dx, jnp.zeros_like(dx))
-            dzsf = dzs.astype(jnp.float32)
-            S0s = jnp.sum(dzsf, axis=tuple(range(dzs.ndim - 1)))
-            S1s = jnp.sum(dzsf * vs.astype(jnp.float32), axis=tuple(range(dzs.ndim - 1)))
+            if S0s is None:
+                dzsf = dzs.astype(jnp.float32)
+                S0s = jnp.sum(dzsf, axis=tuple(range(dzs.ndim - 1)))
+                S1s = jnp.sum(
+                    dzsf * vs.astype(jnp.float32), axis=tuple(range(dzs.ndim - 1))
+                )
             k0s, k1s, d_gss, d_bss = _bn_bwd_coeffs(
                 S0s, S1s, ms, vars_, p["stem"]["bn"]["scale"], ns
             )

@@ -18,8 +18,10 @@ so the weight converter is a pure name map.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -169,10 +171,12 @@ class YBlock(nn.Module):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_entry_fn(groups: int, with_stem: bool):
+def _fused_entry_fn(groups: int, with_stem: bool, use_pallas: bool):
     from tdeed_tpu.kernels.fused_block import make_fused_block
 
-    return make_fused_block(groups=groups, with_stem=with_stem)
+    return make_fused_block(
+        groups=groups, with_stem=with_stem, use_pallas=use_pallas
+    )
 
 
 class RegNetY(nn.Module):
@@ -196,7 +200,14 @@ class RegNetY(nn.Module):
     def _apply_fused(self, x, w: int, g: int, with_stem: bool, block: str):
         """Run [stem ->] entry block `block` via the fused custom VJP and
         write the momentum-mixed running stats the plain path would have."""
-        fn = _fused_entry_fn(w // g, with_stem)
+        # Pallas single-pass backward on TPU; the jnp formulation is the
+        # CPU path (and the correctness oracle in tests/test_fused_block.py).
+        # FUSE_PALLAS=0/1 overrides the auto selection (A/B tooling).
+        env = os.environ.get("FUSE_PALLAS", "auto")
+        use_pallas = (
+            jax.default_backend() != "cpu" if env == "auto" else env == "1"
+        )
+        fn = _fused_entry_fn(w // g, with_stem, use_pallas)
         params = self.variables["params"]
         old = self.variables["batch_stats"]
         p = {"blk": params[block]}

@@ -44,7 +44,7 @@ class PlainStemBlock(nn.Module):
         return x
 
 
-def _setup(dtype, with_stem):
+def _setup(dtype, with_stem, use_pallas=False):
     rng = np.random.default_rng(0)
     if with_stem:
         x = jnp.asarray(rng.normal(size=(N, H, H, 3)), dtype or jnp.float32)
@@ -58,7 +58,8 @@ def _setup(dtype, with_stem):
         variables["params"],
     )
     fused = make_fused_block(
-        groups=BLK_W // GROUP_SIZE, with_stem=with_stem, use_pallas=False
+        groups=BLK_W // GROUP_SIZE, with_stem=with_stem,
+        use_pallas=use_pallas, interpret=use_pallas,
     )
     fused_p = dict(params)
     if with_stem:
@@ -111,10 +112,11 @@ def test_forward_and_stats_match(dtype, with_stem):
         )
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
 @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
 @pytest.mark.parametrize("with_stem", [True, False])
-def test_gradients_match(dtype, with_stem):
-    model, variables, params, fused, fused_p, x = _setup(dtype, with_stem)
+def test_gradients_match(dtype, with_stem, use_pallas):
+    model, variables, params, fused, fused_p, x = _setup(dtype, with_stem, use_pallas)
     rng = np.random.default_rng(7)
 
     def probe(out):

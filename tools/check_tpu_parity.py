@@ -110,6 +110,42 @@ def main():
     want = _xla_chain(jnp.asarray(flipped), params)
     check("photometric + in-kernel flip", got, want, 3e-2, 3e-2)
 
+    # --- fused entry block: Pallas P2 backward vs jnp two-pass ----------
+    # Both run on this device in bf16; the jnp formulation is the oracle
+    # (itself gated vs flax autodiff in tests/test_fused_block.py).
+    from tests.test_fused_block import BLK_W, GROUP_SIZE, PlainStemBlock
+    from tdeed_tpu.kernels.fused_block import make_fused_block
+
+    for with_stem in (True, False):
+        cin = 3 if with_stem else 8
+        xb = jnp.asarray(
+            rng.standard_normal((24, 32, 32, cin)), jnp.bfloat16
+        )
+        model = PlainStemBlock(dtype=jnp.bfloat16, with_stem=with_stem)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(1), xb, False)
+        p = {"blk": variables["params"]["blk"]}
+        if with_stem:
+            p["stem"] = variables["params"]["stem"]
+        w = jnp.asarray(rng.standard_normal((24, 8, 8, BLK_W)), jnp.float32)
+        grads = {}
+        for up in (False, True):
+            fn = make_fused_block(
+                groups=BLK_W // GROUP_SIZE, with_stem=with_stem, use_pallas=up
+            )
+
+            def loss(pp, xx, fn=fn):
+                out, _ = fn(xx, pp)
+                return jnp.sum(out.astype(jnp.float32) * w)
+
+            grads[up] = jax.jit(jax.grad(loss, argnums=(0, 1)))(p, xb)
+        flat_j = jax.tree_util.tree_flatten_with_path(grads[False])[0]
+        flat_p = dict(jax.tree_util.tree_flatten_with_path(grads[True])[0])
+        for path, leaf in flat_j:
+            check(
+                f"fused_block stem={with_stem} grad{jax.tree_util.keystr(path)}",
+                flat_p[path], leaf, 2e-2, 2e-2,
+            )
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)

@@ -61,7 +61,13 @@ def main():
         return (time.perf_counter() - t0) / (n - 1), float(m["loss"])
 
     results = {}
-    for name, fuse in [("plain", False), ("fused-entry", True)]:
+    variants = [("plain", False, None), ("fused-jnp", True, "0"),
+                ("fused-pallas", True, "1")]
+    for name, fuse, pallas_env in variants:
+        if pallas_env is None:
+            os.environ.pop("FUSE_PALLAS", None)
+        else:
+            os.environ["FUSE_PALLAS"] = pallas_env
         model = build_model(dataclasses.replace(cfg, fuse_entry=fuse))
         variables = jax.jit(model.init, static_argnums=(2,))(
             rng, jnp.zeros((1, T, S, S, 3), jnp.float32), False
@@ -82,10 +88,12 @@ def main():
         print(f"train step [{name}]: {sec*1e3:8.2f} ms  "
               f"{B*T/sec:9.0f} frames/s  loss@20={last_loss:.4f}", flush=True)
 
-    if len(results) == 2:
-        d = (results["plain"] - results["fused-entry"]) * 1e3
-        print(f"delta: {d:+.2f} ms ({100*d/ (results['plain']*1e3):+.1f}%)",
-              flush=True)
+    if "plain" in results:
+        for name in ("fused-jnp", "fused-pallas"):
+            if name in results:
+                d = (results["plain"] - results[name]) * 1e3
+                print(f"delta[{name}]: {d:+.2f} ms "
+                      f"({100*d/(results['plain']*1e3):+.1f}%)", flush=True)
 
 
 if __name__ == "__main__":
