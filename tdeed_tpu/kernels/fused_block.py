@@ -173,6 +173,24 @@ def _conv_dx(dv, w, x_shape, dtype, stride=1, pad=0, groups=1):
     return vjp(dv)[0]
 
 
+def _snap_bf16(x):
+    """f32 -> f32 snapped to the nearest-even bf16 value.
+
+    Bit-twiddled so no compiler can elide it: Mosaic carries bf16-typed
+    vectors as unrounded f32 in registers, so both plain bf16 arithmetic
+    and ``x.astype(bf16).astype(f32)`` silently skip XLA's per-op bf16
+    rounding inside a kernel. The resulting 0.4%-level summand drift is
+    amplified by cancellation in the dW accumulations to O(1) entry
+    errors (measured via tools/probe_fused_miscompile.py), so the fused
+    backward forces the rounding explicitly at every point the jnp/XLA
+    formulation rounds.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    lsb = jax.lax.shift_right_logical(u, jnp.uint32(16)) & jnp.uint32(1)
+    r = (u + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(r, jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Pallas P2: the single-pass heavy backward
 # ---------------------------------------------------------------------------
@@ -195,15 +213,32 @@ def _conv_dx(dv, w, x_shape, dtype, stride=1, pad=0, groups=1):
 # and relu(stem) (4x) that the trace attributed ~7 ms of the step to.
 
 
-def _p2_pallas_call(v1t, g1t, xt, dvdt, ab1, kk, asbs, w1, wd,
-                    *, with_stem: bool, interpret: bool):
+def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
+                    *, with_stem: bool, interpret: bool,
+                    rounding: str = "single",
+                    _debug: Optional[str] = None):
     """The raw pallas_call in the transposed (H, W, C, N) view.
 
-    v1t/g1t: (H, W, C, N) bf16; xt: (H, W, Cin, N) bf16 (stem conv output
-    when with_stem — xin is recomputed in-register — else the block input);
+    v1t: (H, W, C, N) bf16; dz1t: (H, W, C, N) bf16 — the relu-MASKED
+    conv2 input-gradient, masked by P1 in XLA. The conv1 mask must NOT be
+    recomputed here: Mosaic's f32 FMA scheduling of ``v*a + b`` differs
+    from XLA's by sub-ulp amounts, so a recomputed ``pre > 0`` flips at
+    elements sitting within an ulp of the relu kink (measured by
+    tools/probe_fused_miscompile.py) and each flip costs an O(1) error in
+    dx / a dW1 column. Single-sourcing the mask makes the kernel
+    deterministic vs the jnp formulation.
+    xt: (H, W, Cin, N) bf16 (stem conv output when with_stem — xin is
+    recomputed in-register with XLA:TPU's measured single-rounding
+    semantics, see the in-kernel comment; residual stem-kink flips only
+    enter global SUMS, where they are tolerance-immaterial — else the
+    block input);
     dvdt: (H/2, W/2, C, N) bf16; ab1: (2, C, 1) bf16 (a1, b1); kk: (2, C, 1)
     f32 (k1, k0); asbs: (2, Cin, 1) bf16 (stem fold) or None; w1/wd:
     (Cin, C) bf16.
+
+    _debug (tools/probe_fused_miscompile.py only) reroutes an intermediate
+    to the dx output to localize Mosaic lowering bugs: 'dv1' | 'xin' |
+    'dot1' (conv1-dx term only) | 'dotd' (downsample term only).
     """
     H_, W_, C, Nn = v1t.shape
     Cin = xt.shape[2]
@@ -234,8 +269,7 @@ def _p2_pallas_call(v1t, g1t, xt, dvdt, ab1, kk, asbs, w1, wd,
                 s0_ref[...] = jnp.zeros_like(s0_ref)
                 s1_ref[...] = jnp.zeros_like(s1_ref)
 
-        a1 = ab1_ref[0]  # (C, 1) bf16
-        b1 = ab1_ref[1]
+        a1 = ab1_ref[0]  # (C, 1) compute dtype
         k1 = kk_ref[0]   # (C, 1) f32
         k0 = kk_ref[1]
         w1v = w1_ref[...]
@@ -245,24 +279,48 @@ def _p2_pallas_call(v1t, g1t, xt, dvdt, ab1, kk, asbs, w1, wd,
         okcin = jax.lax.broadcasted_iota(jnp.int32, (Cin, nb), 1) + nbi * nb < Nn
         h_even = h % 2 == 0
         zb = jnp.zeros((), cdt)
+        zf = jnp.zeros((), f32)
+        snap = _snap_bf16 if cdt == jnp.bfloat16 else (lambda t: t)
+        per_op = rounding == "per-op"
+        a1f = a1.astype(f32)
+        if with_stem:
+            asf = asbs_ref[0].astype(f32)
+            bsf = asbs_ref[1].astype(f32)
 
         def body(i, carry):
             dw1_acc, dwd_acc, s0_acc, s1_acc = carry
             v = v_ref[0, i]   # (C, nb) bf16
-            g = g_ref[0, i]
-            pre = v * a1 + b1
-            dz = jnp.where((pre > 0) & okc, g, zb)
-            dv1 = dz * a1 + (v.astype(f32) * k1 + k0).astype(cdt)
-            dv1 = jnp.where(okc, dv1, zb)
+            # g_ref holds dz1 = relu'(z1) * g1, masked by P1 in XLA (see
+            # module docstring); only the lane-validity mask applies here.
+            # rounding='single' mirrors XLA:TPU, whose bf16 propagation
+            # keeps whole elementwise chains in f32 and rounds ONCE at
+            # each materialization (measured:
+            # tools/probe_fused_miscompile.py semantics() — 0/1M mismatch
+            # vs single-round, 277k/1M vs per-op). rounding='per-op'
+            # mirrors XLA:CPU / eager, which round at every bf16 op — the
+            # mode the CPU-oracle tests compare against.
+            dzf = jnp.where(okc, g_ref[0, i], zb).astype(f32)
+            if per_op:
+                dv1f = snap(snap(dzf * a1f) + snap(v.astype(f32) * k1 + k0))
+            else:
+                dv1f = snap(dzf * a1f + (v.astype(f32) * k1 + k0))
+            dv1 = jnp.where(okc, dv1f, zf).astype(cdt)
             if with_stem:
                 vs = x_ref[0, i]  # (Cin, nb) stem conv out
-                pres = vs * asbs_ref[0] + asbs_ref[1]
-                xin = jnp.maximum(pres, zb)
+                # presf: the relu/mask operand exactly as the backend's
+                # jnp path computes it (unrounded f32 chain on TPU,
+                # per-op bf16 on CPU)
+                if per_op:
+                    presf = snap(snap(vs.astype(f32) * asf) + bsf)
+                else:
+                    presf = vs.astype(f32) * asf + bsf
+                xin = jnp.where(
+                    okcin, snap(jnp.maximum(presf, zf)), zf
+                ).astype(cdt)
             else:
-                xin = x_ref[0, i]
-            xin = jnp.where(okcin, xin, zb)
+                xin = jnp.where(okcin, x_ref[0, i], zb)
 
-            dx_i = jax.lax.dot(w1v, dv1, preferred_element_type=f32)
+            dot1 = jax.lax.dot(w1v, dv1, preferred_element_type=f32)
             dw1_acc = dw1_acc + jax.lax.dot_general(
                 xin, dv1, (((1,), (1,)), ((), ())), preferred_element_type=f32
             )
@@ -272,20 +330,42 @@ def _p2_pallas_call(v1t, g1t, xt, dvdt, ab1, kk, asbs, w1, wd,
             # result is gated to zero elsewhere.
             dvd_i = jnp.where(okc, dvd_ref[0, i // 2], zb)
             gate = jnp.where(h_even & (i % 2 == 0), jnp.float32(1), jnp.float32(0))
-            dx_i = dx_i + gate * jax.lax.dot(
-                wdv, dvd_i, preferred_element_type=f32
-            )
+            dotd = gate * jax.lax.dot(wdv, dvd_i, preferred_element_type=f32)
+            dx_i = dot1 + dotd
             dwd_acc = dwd_acc + gate * jax.lax.dot_general(
                 xin, dvd_i, (((1,), (1,)), ((), ())), preferred_element_type=f32
             )
-            dx_b = dx_i.astype(cdt)
+            def fitC(val):
+                return val[:Cin] if Cin <= C else jnp.concatenate(
+                    [val, jnp.zeros((Cin - C, nb), val.dtype)], axis=0
+                )
+
+            if _debug == "dv1":
+                dx_b = fitC(dv1)
+            elif _debug == "v":
+                dx_b = fitC(v)
+            elif _debug == "a1b":
+                dx_b = fitC(a1 + jnp.zeros((C, nb), cdt))
+            elif _debug == "okc":
+                dx_b = fitC(okc.astype(cdt))
+            elif _debug == "dz":
+                dx_b = fitC(dzf.astype(cdt))
+            elif _debug == "xin":
+                dx_b = xin
+            elif _debug == "dot1":
+                dx_b = dot1.astype(cdt)
+            elif _debug == "dotd":
+                dx_b = dotd.astype(cdt)
+            else:
+                dx_b = snap(dx_i).astype(cdt)
             dx_ref[0, i] = dx_b
 
             if with_stem:
                 # stem BN sums from the bf16-rounded dx (bit-matches the
-                # jnp path, which reads back the materialized bf16 dx)
+                # jnp path, which reads back the materialized bf16 dx);
+                # the mask uses the unrounded f32 pre-relu, as XLA does.
                 dzs = jnp.where(
-                    (pres > 0) & okcin, dx_b.astype(f32), jnp.float32(0)
+                    (presf > 0) & okcin, snap(dx_i), jnp.float32(0)
                 )
                 s0_acc = s0_acc + dzs
                 s1_acc = s1_acc + dzs * jnp.where(okcin, vs, zb).astype(f32)
@@ -316,7 +396,7 @@ def _p2_pallas_call(v1t, g1t, xt, dvdt, ab1, kk, asbs, w1, wd,
         args.append(asbs)
     in_specs += [const((Cin, C)), const((Cin, C)), big(C), big(C), big(Cin),
                  dvd_spec]
-    args += [w1, wd, v1t, g1t, xt, dvdt]
+    args += [w1, wd, v1t, dz1t, xt, dvdt]
 
     out_shape = [
         jax.ShapeDtypeStruct((H_, W_, Cin, Nn), cdt),
@@ -338,10 +418,12 @@ def _p2_pallas_call(v1t, g1t, xt, dvdt, ab1, kk, asbs, w1, wd,
     )(*args)
 
 
-def p2_backward(v1, g1, x_or_vs, dvd, blk, m1, var1, stem=None,
-                *, interpret: bool = False):
+def p2_backward(v1, dz1, x_or_vs, dvd, blk, m1, var1, stem=None,
+                *, interpret: bool = False, rounding: str = "single"):
     """Single-pass heavy backward (see module docstring).
 
+    ``dz1`` is the relu-masked conv2 input-gradient (P1 applies the mask
+    in XLA — the kernel must not recompute it, see _p2_pallas_call).
     All activations NHWC. ``blk``/``stem`` are the parameter trees;
     (m1, var1) the conv1 batch stats needed for the fold. Returns
     (dx, dW1, dWd) and, when ``stem`` is given (with_stem unit),
@@ -368,8 +450,8 @@ def p2_backward(v1, g1, x_or_vs, dvd, blk, m1, var1, stem=None,
     else:
         asbs = None
     outs = _p2_pallas_call(
-        t(v1), t(g1), t(x_or_vs), t(dvd), ab1, kk, asbs, w1, wd,
-        with_stem=stem is not None, interpret=interpret,
+        t(v1), t(dz1), t(x_or_vs), t(dvd), ab1, kk, asbs, w1, wd,
+        with_stem=stem is not None, interpret=interpret, rounding=rounding,
     )
     dx = jnp.transpose(outs[0], (3, 0, 1, 2))
     dW1 = outs[1].reshape(1, 1, Cin, C)
@@ -390,6 +472,7 @@ def make_fused_block(
     with_stem: bool,
     use_pallas: bool = False,
     interpret: bool = False,
+    rounding: Optional[str] = None,
 ):
     """Build the custom-vjp fused block.
 
@@ -405,7 +488,14 @@ def make_fused_block(
     The forward equals the plain flax composition bit-for-bit (same op
     sequence); the backward is the two-pass restructure described in the
     module docstring.
+
+    ``rounding`` selects the Pallas kernel's bf16 materialization
+    semantics: 'single' matches XLA:TPU (production), 'per-op' matches
+    XLA:CPU / eager (the CPU-oracle tests). Defaults to 'per-op' when
+    ``interpret`` (the kernel is being run as a CPU oracle) else 'single'.
     """
+    if rounding is None:
+        rounding = "per-op" if interpret else "single"
 
     def fwd_only(x, p):
         vs, stem_stats, v1, s1, v2, vd = _front(x, p, groups, with_stem)
@@ -479,12 +569,14 @@ def make_fused_block(
             blk_k = {**blk, "_k": (k0, k1)}
             if with_stem:
                 dx, dW1, dWd, S0s, S1s = p2_backward(
-                    v1, g1, vs, dvd, blk_k, m1, var1,
+                    v1, dz1, vs, dvd, blk_k, m1, var1,
                     {"_fold": (a_s, b_s)}, interpret=interpret,
+                    rounding=rounding,
                 )
             else:
                 dx, dW1, dWd = p2_backward(
-                    v1, g1, xin, dvd, blk_k, m1, var1, interpret=interpret
+                    v1, dz1, xin, dvd, blk_k, m1, var1, interpret=interpret,
+                    rounding=rounding,
                 )
         else:
             dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)

@@ -223,3 +223,22 @@ def test_regnet_fuse_entry_equivalence(dtype):
     got = np.asarray(gx_f, np.float32)
     err = float(np.abs(got - ref).max()) / max(1e-3, float(np.abs(ref).max()))
     assert err < tols["rtol"] * 5 + 1e-6, f"input grad rel err {err:.3e}"
+
+
+def test_snap_bf16_matches_astype_roundtrip():
+    """The bit-twiddled RNE snap must equal f32->bf16->f32 exactly —
+    including negatives, exponent-boundary carries, zeros and ties."""
+    from tdeed_tpu.kernels.fused_block import _snap_bf16
+
+    rng = np.random.default_rng(11)
+    x = np.concatenate([
+        rng.standard_normal(4096).astype(np.float32),
+        (rng.standard_normal(4096) * 1e20).astype(np.float32),
+        (rng.standard_normal(4096) * 1e-20).astype(np.float32),
+        np.array([0.0, -0.0, 1.0, -1.0, 255.5, -255.5], np.float32),
+        # exact ties: mantissa pattern ...1|1000...0 rounds up (RNE)
+        np.float32([1.00390625, 1.01171875, -1.00390625]),
+    ])
+    got = np.asarray(jax.jit(_snap_bf16)(jnp.asarray(x)))
+    want = np.asarray(x.astype(jnp.bfloat16).astype(np.float32))
+    np.testing.assert_array_equal(got, want)

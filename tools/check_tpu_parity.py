@@ -40,7 +40,13 @@ def check(name, got, want, atol, rtol):
     want = np.asarray(want, np.float32)
     err = np.max(np.abs(got - want) / (atol + rtol * np.abs(want)))
     ok = err <= 1.0
-    print(f"{name}: max normalized err {err:.3f} {'OK' if ok else 'FAIL'}",
+    extra = ""
+    if not ok:
+        sel = np.abs(want) > 0.1 * np.abs(want).max() + 1e-6
+        ratio = np.median(got[sel] / want[sel]) if sel.any() else float("nan")
+        nbad = int((np.abs(got - want) / (atol + rtol * np.abs(want)) > 1).sum())
+        extra = f"  med-ratio {ratio:.4f} nbad={nbad}/{got.size}"
+    print(f"{name}: max normalized err {err:.3f} {'OK' if ok else 'FAIL'}{extra}",
           flush=True)
     if not ok:
         failures.append(name)
@@ -122,11 +128,14 @@ def main():
             rng.standard_normal((24, 32, 32, cin)), jnp.bfloat16
         )
         model = PlainStemBlock(dtype=jnp.bfloat16, with_stem=with_stem)
-        variables = jax.jit(model.init)(jax.random.PRNGKey(1), xb, False)
+        variables = jax.jit(model.init, static_argnums=(2,))(
+            jax.random.PRNGKey(1), xb, False
+        )
         p = {"blk": variables["params"]["blk"]}
         if with_stem:
             p["stem"] = variables["params"]["stem"]
-        w = jnp.asarray(rng.standard_normal((24, 8, 8, BLK_W)), jnp.float32)
+        hw = 8 if with_stem else 16  # one stride-2 fewer without the stem
+        w = jnp.asarray(rng.standard_normal((24, hw, hw, BLK_W)), jnp.float32)
         grads = {}
         for up in (False, True):
             fn = make_fused_block(
