@@ -202,10 +202,16 @@ class RegNetY(nn.Module):
         write the momentum-mixed running stats the plain path would have."""
         # Pallas single-pass backward on TPU; the jnp formulation is the
         # CPU path (and the correctness oracle in tests/test_fused_block.py).
+        # Auto also requires a single-device world: pallas_call is opaque to
+        # GSPMD, so on a multi-chip mesh the jnp formulation (whose global
+        # math XLA partitions + psums automatically) is the DP-correct path
+        # until the kernel grows a shard_map/custom_partitioning wrapper.
         # FUSE_PALLAS=0/1 overrides the auto selection (A/B tooling).
         env = os.environ.get("FUSE_PALLAS", "auto")
         use_pallas = (
-            jax.default_backend() != "cpu" if env == "auto" else env == "1"
+            jax.default_backend() != "cpu" and jax.device_count() == 1
+            if env == "auto"
+            else env == "1"
         )
         fn = _fused_entry_fn(w // g, with_stem, use_pallas)
         params = self.variables["params"]
