@@ -221,7 +221,7 @@ def main(argv=None) -> None:
         mesh = make_mesh(devices=jax.devices())
     else:
         mesh = make_mesh(n_local) if n_local > 1 else None
-    model = build_model(cfg, two_heads=two_heads)
+    model = build_model(cfg, two_heads=two_heads, mesh=mesh)
 
     crop = cfg.crop_dim
     rng = jax.random.PRNGKey(args.seed)

@@ -43,6 +43,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+try:  # public since jax 0.6; the experimental alias for older trees
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
 BN_EPS = 1e-5
 
 
@@ -473,6 +478,8 @@ def make_fused_block(
     use_pallas: bool = False,
     interpret: bool = False,
     rounding: Optional[str] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
 ):
     """Build the custom-vjp fused block.
 
@@ -493,9 +500,19 @@ def make_fused_block(
     semantics: 'single' matches XLA:TPU (production), 'per-op' matches
     XLA:CPU / eager (the CPU-oracle tests). Defaults to 'per-op' when
     ``interpret`` (the kernel is being run as a CPU oracle) else 'single'.
+
+    ``mesh``/``data_axis``: when given (and the axis is >1 devices), the
+    Pallas P2 runs under ``shard_map`` with the batch dim sharded over
+    ``data_axis`` — per-shard dx, psum'd dW/stem-BN sums. This is the DP
+    semantics GSPMD gives the jnp formulation automatically (per-shard
+    dot_general partials + cross-replica reduce); pallas_call is opaque
+    to GSPMD so the sharding must be hand-written here.
     """
     if rounding is None:
         rounding = "per-op" if interpret else "single"
+    shard_p2 = (
+        mesh is not None and use_pallas and mesh.shape.get(data_axis, 1) > 1
+    )
 
     def fwd_only(x, p):
         vs, stem_stats, v1, s1, v2, vd = _front(x, p, groups, with_stem)
@@ -567,17 +584,45 @@ def make_fused_block(
         S0s = S1s = None
         if use_pallas:
             blk_k = {**blk, "_k": (k0, k1)}
-            if with_stem:
-                dx, dW1, dWd, S0s, S1s = p2_backward(
-                    v1, dz1, vs, dvd, blk_k, m1, var1,
-                    {"_fold": (a_s, b_s)}, interpret=interpret,
-                    rounding=rounding,
+            stem_arg = {"_fold": (a_s, b_s)} if with_stem else None
+            xv = vs if with_stem else xin
+
+            def _p2_local(v1_, dz1_, xv_, dvd_, blk_, m1_, var1_, stem_):
+                return p2_backward(
+                    v1_, dz1_, xv_, dvd_, blk_, m1_, var1_, stem_,
+                    interpret=interpret, rounding=rounding,
+                )
+
+            if shard_p2:
+                P = jax.sharding.PartitionSpec
+
+                def _p2_shard(*a):
+                    outs = _p2_local(*a)
+                    # dx stays batch-sharded; the weight/stat sums are
+                    # per-shard partials -> cross-replica reduce, the same
+                    # contraction GSPMD emits for the jnp dot_generals.
+                    return (outs[0],) + tuple(
+                        jax.lax.psum(o, data_axis) for o in outs[1:]
+                    )
+
+                n_out = 5 if with_stem else 3
+                run_p2 = _shard_map(
+                    _p2_shard,
+                    mesh=mesh,
+                    in_specs=(P(data_axis),) * 4 + (P(),) * 4,
+                    out_specs=(P(data_axis),) + (P(),) * (n_out - 1),
+                    # pallas_call's out_shape carries no vma; the manual
+                    # psums above establish the replication the specs claim
+                    check_vma=False,
                 )
             else:
-                dx, dW1, dWd = p2_backward(
-                    v1, dz1, xin, dvd, blk_k, m1, var1, interpret=interpret,
-                    rounding=rounding,
-                )
+                run_p2 = _p2_local
+
+            outs = run_p2(v1, dz1, xv, dvd, blk_k, m1, var1, stem_arg)
+            if with_stem:
+                dx, dW1, dWd, S0s, S1s = outs
+            else:
+                dx, dW1, dWd = outs
         else:
             dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
             dW1 = _conv_dw(xin, dv1, w1.shape)

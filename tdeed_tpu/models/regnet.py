@@ -171,11 +171,11 @@ class YBlock(nn.Module):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_entry_fn(groups: int, with_stem: bool, use_pallas: bool):
+def _fused_entry_fn(groups: int, with_stem: bool, use_pallas: bool, mesh):
     from tdeed_tpu.kernels.fused_block import make_fused_block
 
     return make_fused_block(
-        groups=groups, with_stem=with_stem, use_pallas=use_pallas
+        groups=groups, with_stem=with_stem, use_pallas=use_pallas, mesh=mesh
     )
 
 
@@ -195,6 +195,7 @@ class RegNetY(nn.Module):
     shift_mode: Optional[str] = None
     clip_len: int = 0
     fuse_entry: bool = False
+    mesh: Any = None  # DP mesh for the fused path's shard_map'd Pallas P2
     dtype: Any = None
 
     def _apply_fused(self, x, w: int, g: int, with_stem: bool, block: str):
@@ -202,18 +203,19 @@ class RegNetY(nn.Module):
         write the momentum-mixed running stats the plain path would have."""
         # Pallas single-pass backward on TPU; the jnp formulation is the
         # CPU path (and the correctness oracle in tests/test_fused_block.py).
-        # Auto also requires a single-device world: pallas_call is opaque to
-        # GSPMD, so on a multi-chip mesh the jnp formulation (whose global
-        # math XLA partitions + psums automatically) is the DP-correct path
-        # until the kernel grows a shard_map/custom_partitioning wrapper.
+        # Auto also requires a single-device world OR an explicit DP mesh:
+        # pallas_call is opaque to GSPMD, so on a multi-chip mesh the kernel
+        # runs under shard_map (mesh given) or falls back to the jnp
+        # formulation, whose global math XLA partitions + psums correctly.
         # FUSE_PALLAS=0/1 overrides the auto selection (A/B tooling).
         env = os.environ.get("FUSE_PALLAS", "auto")
         use_pallas = (
-            jax.default_backend() != "cpu" and jax.device_count() == 1
+            jax.default_backend() != "cpu"
+            and (jax.device_count() == 1 or self.mesh is not None)
             if env == "auto"
             else env == "1"
         )
-        fn = _fused_entry_fn(w // g, with_stem, use_pallas)
+        fn = _fused_entry_fn(w // g, with_stem, use_pallas, self.mesh)
         params = self.variables["params"]
         old = self.variables["batch_stats"]
         p = {"blk": params[block]}

@@ -38,6 +38,7 @@ class TDEED(nn.Module):
     two_heads: Optional[Sequence[int]] = None  # (C1+1, C2+1) incl. backgrounds
     checkpoint_backbone: bool = False
     fuse_entry: bool = False
+    mesh: Any = None  # DP mesh, forwarded to the fused entry path
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -60,6 +61,7 @@ class TDEED(nn.Module):
             shift_mode=shift_mode,
             clip_len=self.clip_len,
             fuse_entry=self.fuse_entry,
+            mesh=self.mesh,
             dtype=self.dtype,
             name="features",
         )
@@ -104,8 +106,9 @@ class TDEED(nn.Module):
         return out
 
 
-def build_model(cfg, two_heads=None) -> TDEED:
-    """Construct a TDEED module from a TDEEDConfig."""
+def build_model(cfg, two_heads=None, mesh=None) -> TDEED:
+    """Construct a TDEED module from a TDEEDConfig. ``mesh``: the DP mesh,
+    needed only so the fused entry path can shard_map its Pallas backward."""
     return TDEED(
         num_classes=cfg.num_classes,
         clip_len=cfg.clip_len,
@@ -117,5 +120,6 @@ def build_model(cfg, two_heads=None) -> TDEED:
         two_heads=two_heads,
         checkpoint_backbone=cfg.checkpoint_backbone,
         fuse_entry=cfg.fuse_entry,
+        mesh=mesh,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )

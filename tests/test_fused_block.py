@@ -225,6 +225,59 @@ def test_regnet_fuse_entry_equivalence(dtype):
     assert err < tols["rtol"] * 5 + 1e-6, f"input grad rel err {err:.3e}"
 
 
+@pytest.mark.parametrize("with_stem", [True, False])
+def test_pallas_dp_shard_map(with_stem):
+    """Pallas P2 under shard_map on an 8-device mesh: batch-sharded dx,
+    psum'd dW/stem-BN sums must match the single-device jnp formulation
+    (which GSPMD partitions the same way automatically)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tdeed_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(8)
+    n = 8
+    rng = np.random.default_rng(3)
+    cin = 3 if with_stem else STEM_W
+    x = jnp.asarray(rng.normal(size=(n, H, H, cin)), jnp.float32)
+    model = PlainStemBlock(dtype=None, with_stem=with_stem)
+    variables = model.init(jax.random.PRNGKey(1), x, False)
+    params = variables["params"]
+    fp = (
+        {"stem": params["stem"], "blk": params["blk"]}
+        if with_stem
+        else {"blk": params["blk"]}
+    )
+    groups = BLK_W // GROUP_SIZE
+    ref_fn = make_fused_block(groups=groups, with_stem=with_stem)
+    dp_fn = make_fused_block(
+        groups=groups, with_stem=with_stem, use_pallas=True, interpret=True,
+        mesh=mesh,
+    )
+    w = jnp.asarray(rng.normal(size=(n, H // (4 if with_stem else 2),
+                                     H // (4 if with_stem else 2), BLK_W)),
+                    jnp.float32)
+
+    def make_loss(fn):
+        return lambda p, x_: jnp.sum(fn(x_, p)[0].astype(jnp.float32) * w)
+
+    gp_ref, gx_ref = jax.grad(make_loss(ref_fn), argnums=(0, 1))(fp, x)
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    gp_dp, gx_dp = jax.jit(jax.grad(make_loss(dp_fn), argnums=(0, 1)))(fp, x_sh)
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(gp_ref)[0]
+    flat_dp = dict(jax.tree_util.tree_flatten_with_path(gp_dp)[0])
+    for path, leaf in flat_ref:
+        ref = np.asarray(leaf, np.float32)
+        got = np.asarray(flat_dp[path], np.float32)
+        den = max(1e-3, float(np.abs(ref).max()))
+        err = float(np.abs(got - ref).max()) / den
+        assert err < 1e-4, f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
+    np.testing.assert_allclose(
+        np.asarray(gx_dp, np.float32), np.asarray(gx_ref, np.float32),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_snap_bf16_matches_astype_roundtrip():
     """The bit-twiddled RNE snap must equal f32->bf16->f32 exactly —
     including negatives, exponent-boundary carries, zeros and ties."""
