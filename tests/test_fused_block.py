@@ -278,6 +278,78 @@ def test_pallas_dp_shard_map(with_stem):
     )
 
 
+def test_train_step_fused_vs_plain():
+    """Full train-step integration of the fused entry path (jnp formulation
+    on CPU): two AdamW steps with fuse_entry on/off from identical weights
+    must agree — step-0 loss tightly (same math, reassociated), step-1 and
+    the updated trees loosely (AdamW amplifies fp32 reassociation; see the
+    conditioning analysis in tests/test_train_step_oracle.py)."""
+    from tdeed_tpu.models.tdeed import TDEED
+    from tdeed_tpu.train.schedule import make_optimizer
+    from tdeed_tpu.train.state import TrainState
+    from tdeed_tpu.train.step import make_train_step
+
+    B, T, HW, NC = 2, 4, 32, 3
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (2, B, T, HW, HW, 3)).astype(np.uint8)
+    labels = rng.integers(0, NC + 1, (2, B, T)).astype(np.int32)
+    displ = rng.integers(-1, 2, (2, B, T)).astype(np.float32)
+
+    results = {}
+    for fuse in (False, True):
+        model = TDEED(
+            num_classes=NC, clip_len=T, feature_arch="rny002_gsf",
+            n_layers=1, sgp_ks=3, sgp_r=2, radi_displacement=1,
+            fuse_entry=fuse, dtype=jnp.float32,
+        )
+        variables = jax.jit(model.init, static_argnums=2)(
+            jax.random.PRNGKey(0), jnp.zeros((B, T, HW, HW, 3), jnp.float32),
+            False,
+        )
+        tx = make_optimizer(1e-3, warmup_steps=2, cosine_steps=100)
+        state = TrainState.create(
+            variables["params"], variables["batch_stats"], tx
+        )
+        step_fn = jax.jit(
+            make_train_step(
+                model, tx, crop_dim=None, num_classes_bg=NC + 1, mixup=False,
+                radi_displacement=1, pallas_augment=False,
+            )
+        )
+        losses = []
+        for s in range(2):
+            batch = {
+                "frame": jnp.asarray(frames[s]),
+                "label": jnp.asarray(labels[s]),
+                "labelD": jnp.asarray(displ[s]),
+            }
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(9))
+            losses.append(float(metrics["loss"]))
+        results[fuse] = (losses, state)
+
+    (l_plain, st_plain), (l_fused, st_fused) = results[False], results[True]
+    np.testing.assert_allclose(l_fused[0], l_plain[0], rtol=1e-5)
+    np.testing.assert_allclose(l_fused[1], l_plain[1], rtol=1e-2)
+    flat_p = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, st_plain.params))[0]
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, st_fused.params))[0])
+    for path, leaf in flat_p:
+        np.testing.assert_allclose(
+            flat_f[path], leaf, atol=5e-3, rtol=5e-2,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    flat_bs = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, st_plain.batch_stats))[0]
+    flat_bf = dict(jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, st_fused.batch_stats))[0])
+    for path, leaf in flat_bs:
+        np.testing.assert_allclose(
+            flat_bf[path], leaf, atol=1e-3, rtol=2e-2,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_snap_bf16_matches_astype_roundtrip():
     """The bit-twiddled RNE snap must equal f32->bf16->f32 exactly —
     including negatives, exponent-boundary carries, zeros and ties."""
