@@ -101,6 +101,7 @@ class TDEEDConfig:
     data_axis: str = "data"  # mesh axis name for data parallelism
     checkpoint_backbone: bool = False  # jax.checkpoint the backbone (remat)
     fuse_entry: bool = False  # fused custom-VJP entry blocks (kernels/fused_block.py)
+    fuse_shift: bool = False  # fused stride-2 shift blocks (s3_b1/s4_b1)
     pallas_augment: Optional[bool] = None  # fused photometric kernel (None=auto)
     decoder: str = "auto"  # 'auto' | 'native' | 'pil' | 'cv2'
 

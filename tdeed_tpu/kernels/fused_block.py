@@ -107,6 +107,22 @@ def _tail(v2, vd, blk):
     return out, {"conv2": s2, "conv3": s3, "downsample": sd}
 
 
+def _front_shift(xs, x, blk, groups: int):
+    """Shift-block front: conv1 reads the SHIFTED input ``xs`` while the
+    downsample shortcut reads the pre-shift block input ``x``
+    (models/regnet.py:YBlock — the temporal shift applies before conv1
+    only, ref: model/shift.py:89-93)."""
+    v1 = _conv(xs, blk["conv1"]["conv"]["kernel"])
+    m1, var1 = _stats(v1)
+    _, a1, b1 = _fold(
+        m1, var1, blk["conv1"]["bn"]["scale"], blk["conv1"]["bn"]["bias"], v1.dtype
+    )
+    y1 = jax.nn.relu(v1 * a1 + b1)
+    v2 = _conv(y1, blk["conv2"]["conv"]["kernel"], stride=2, pad=1, groups=groups)
+    vd = _conv(x, blk["downsample"]["conv"]["kernel"], stride=2, pad=0)
+    return v1, (m1, var1), v2, vd
+
+
 def _front(x, p, groups: int, with_stem: bool):
     """Everything up to (v2, vd) plus the stats needed downstream."""
     if with_stem:
@@ -466,6 +482,143 @@ def p2_backward(v1, dz1, x_or_vs, dvd, blk, m1, var1, stem=None,
     return dx, dW1, dWd
 
 
+def _p2_shift_pallas_call(v1t, dz1t, xst, xdt, dvdt, ab1, kk, w1, wd,
+                          *, interpret: bool, rounding: str = "single"):
+    """Shift-variant P2 in the transposed (H, W, C, N) view.
+
+    Same single-pass structure as ``_p2_pallas_call`` with two input
+    tensors instead of one shared ``xin``: ``xst`` (shifted, feeds conv1's
+    dW and receives dxs) and ``xdt`` (pre-shift, feeds the downsample dW
+    and receives dxd). ``xdt`` rows are only needed at even h — its
+    BlockSpec maps consecutive h pairs to the even row, so odd rows are
+    never DMA'd. Outputs: dxs, dxd (both (H, W, Cin, N)), dW1, dWd.
+    """
+    H_, W_, C, Nn = v1t.shape
+    Cin = xst.shape[2]
+    wb = W_ // 2
+    assert W_ % 2 == 0 and H_ % 2 == 0, (H_, W_)
+    nb = min(256, Nn)
+    n_steps = -(-Nn // nb)
+    grid = (2, n_steps, H_)
+    f32 = jnp.float32
+    cdt = v1t.dtype
+
+    def kernel(ab1_ref, kk_ref, w1_ref, wd_ref,
+               v_ref, g_ref, xs_ref, xd_ref, dvd_ref,
+               dxs_ref, dxd_ref, dw1_ref, dwd_ref):
+        j, nbi, h = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        @pl.when((j == 0) & (nbi == 0) & (h == 0))
+        def _():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            dwd_ref[...] = jnp.zeros_like(dwd_ref)
+
+        a1 = ab1_ref[0]
+        k1 = kk_ref[0]
+        k0 = kk_ref[1]
+        w1v = w1_ref[...]
+        wdv = wd_ref[...]
+        okc = jax.lax.broadcasted_iota(jnp.int32, (C, nb), 1) + nbi * nb < Nn
+        okcin = jax.lax.broadcasted_iota(jnp.int32, (Cin, nb), 1) + nbi * nb < Nn
+        h_even = h % 2 == 0
+        zb = jnp.zeros((), cdt)
+        zf = jnp.zeros((), f32)
+        snap = _snap_bf16 if cdt == jnp.bfloat16 else (lambda t: t)
+        per_op = rounding == "per-op"
+        a1f = a1.astype(f32)
+
+        def body(i, carry):
+            dw1_acc, dwd_acc = carry
+            v = v_ref[0, i]
+            # dv1 chain: same rounding semantics as the entry kernel (see
+            # _p2_pallas_call — 'single' mirrors XLA:TPU materialization,
+            # 'per-op' mirrors the CPU oracle).
+            dzf = jnp.where(okc, g_ref[0, i], zb).astype(f32)
+            if per_op:
+                dv1f = snap(snap(dzf * a1f) + snap(v.astype(f32) * k1 + k0))
+            else:
+                dv1f = snap(dzf * a1f + (v.astype(f32) * k1 + k0))
+            dv1 = jnp.where(okc, dv1f, zf).astype(cdt)
+            xs_i = jnp.where(okcin, xs_ref[0, i], zb)
+
+            dxs_ref[0, i] = snap(
+                jax.lax.dot(w1v, dv1, preferred_element_type=f32)
+            ).astype(cdt)
+            dw1_acc = dw1_acc + jax.lax.dot_general(
+                xs_i, dv1, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+
+            # downsample path: contributes at even (h, w) only; xd_ref holds
+            # the even-h row for this h pair (BlockSpec h//2*2), gated to
+            # zero on the odd row / odd columns.
+            dvd_i = jnp.where(okc, dvd_ref[0, i // 2], zb)
+            gate = jnp.where(h_even & (i % 2 == 0), jnp.float32(1), jnp.float32(0))
+            dotd = gate * jax.lax.dot(wdv, dvd_i, preferred_element_type=f32)
+            dxd_ref[0, i] = snap(dotd).astype(cdt)
+            xd_i = jnp.where(okcin, xd_ref[0, i], zb)
+            dwd_acc = dwd_acc + gate * jax.lax.dot_general(
+                xd_i, dvd_i, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+            return dw1_acc, dwd_acc
+
+        z_cc = jnp.zeros((Cin, C), f32)
+        dw1_acc, dwd_acc = jax.lax.fori_loop(0, wb, body, (z_cc, z_cc))
+        dw1_ref[...] += dw1_acc
+        dwd_ref[...] += dwd_acc
+
+    const = lambda shape: pl.BlockSpec(shape, lambda j, nbi, h: (0,) * len(shape))
+    big = lambda cdim: pl.BlockSpec(
+        (1, wb, cdim, nb), lambda j, nbi, h: (h, j, 0, nbi)
+    )
+    xd_spec = pl.BlockSpec(
+        (1, wb, Cin, nb), lambda j, nbi, h: (h // 2 * 2, j, 0, nbi)
+    )
+    dvd_spec = pl.BlockSpec(
+        (1, wb // 2, C, nb), lambda j, nbi, h: (h // 2, j, 0, nbi)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[const((2, C, 1)), const((2, C, 1)), const((Cin, C)),
+                  const((Cin, C)), big(C), big(C), big(Cin), xd_spec,
+                  dvd_spec],
+        out_specs=[big(Cin), big(Cin), const((Cin, C)), const((Cin, C))],
+        out_shape=[
+            jax.ShapeDtypeStruct((H_, W_, Cin, Nn), cdt),
+            jax.ShapeDtypeStruct((H_, W_, Cin, Nn), cdt),
+            jax.ShapeDtypeStruct((Cin, C), jnp.float32),
+            jax.ShapeDtypeStruct((Cin, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ab1, kk, w1, wd, v1t, dz1t, xst, xdt, dvdt)
+
+
+def p2_shift_backward(v1, dz1, xs, x, dvd, blk, m1, var1,
+                      *, interpret: bool = False, rounding: str = "single"):
+    """Shift-variant single-pass heavy backward. All activations NHWC;
+    ``blk['_k']`` carries the P1-derived BN coefficients (see
+    ``p2_backward``). Returns (dxs, dxd, dW1, dWd)."""
+    k0, k1 = blk["_k"]
+    dtype = v1.dtype
+    _, a1, b1 = _fold(m1, var1, blk["conv1"]["bn"]["scale"],
+                      blk["conv1"]["bn"]["bias"], dtype)
+    t = lambda a: jnp.transpose(a, (1, 2, 3, 0))
+    w1 = blk["conv1"]["conv"]["kernel"][0, 0].astype(dtype)
+    wd = blk["downsample"]["conv"]["kernel"][0, 0].astype(dtype)
+    C = w1.shape[1]
+    Cin = w1.shape[0]
+    ab1 = jnp.stack([a1, b1]).reshape(2, C, 1)
+    kk = jnp.stack([k1.astype(jnp.float32),
+                    k0.astype(jnp.float32)]).reshape(2, C, 1)
+    dxs, dxd, dW1, dWd = _p2_shift_pallas_call(
+        t(v1), t(dz1), t(xs), t(x), t(dvd), ab1, kk, w1, wd,
+        interpret=interpret, rounding=rounding,
+    )
+    back = lambda a: jnp.transpose(a, (3, 0, 1, 2))
+    return (back(dxs), back(dxd),
+            dW1.reshape(1, 1, Cin, C), dWd.reshape(1, 1, Cin, C))
+
+
 # ---------------------------------------------------------------------------
 # The fused op factory
 # ---------------------------------------------------------------------------
@@ -672,6 +825,135 @@ def make_fused_block(
             }
             return dx0, d_p
         return dx, {"blk": d_blk}
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def make_fused_shift_block(
+    *,
+    groups: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    rounding: Optional[str] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+):
+    """Fused stride-2 YBlock whose conv1 input went through a temporal
+    shift: ``fn(xs, x, p) -> (out, stats)``.
+
+    ``xs`` is the shifted block input (GatedShift output, computed and
+    differentiated in XLA outside this unit), ``x`` the pre-shift input
+    feeding the downsample shortcut, ``p = {'blk': YBlock tree minus gs}``.
+    Returning separate cotangents for ``xs`` and ``x`` lets JAX chain the
+    shift backward and the shortcut fan-out automatically.
+
+    Targets s3_b1/s4_b1 (models/regnet.py YBlock with shift, stride 2;
+    ref block: model/shift.py:89-93 + timm regnety bottleneck): the same
+    P1/P2 backward restructure as ``make_fused_block``, with the P2
+    single-pass producing dxs (conv1 path) and dxd (downsample path) from
+    one read of (v1, dz1, xs, x_even, dvd).
+    """
+    if rounding is None:
+        rounding = "per-op" if interpret else "single"
+    shard_p2 = (
+        mesh is not None and use_pallas and mesh.shape.get(data_axis, 1) > 1
+    )
+
+    def fwd_only(xs, x, p):
+        v1, s1, v2, vd = _front_shift(xs, x, p["blk"], groups)
+        out, tail_stats = _tail(v2, vd, p["blk"])
+        return out, {"conv1": s1, **tail_stats}
+
+    @jax.custom_vjp
+    def fused(xs, x, p):
+        return fwd_only(xs, x, p)
+
+    def fused_fwd(xs, x, p):
+        v1, s1, v2, vd = _front_shift(xs, x, p["blk"], groups)
+        out, tail_stats = _tail(v2, vd, p["blk"])
+        return (out, {"conv1": s1, **tail_stats}), (xs, x, v1, s1, v2, vd, p)
+
+    def fused_bwd(res, ct):
+        xs, x, v1, (m1, var1), v2, vd, p = res
+        d_out, _d_stats = ct
+        blk = p["blk"]
+        dtype = v1.dtype
+
+        _, tail_vjp = jax.vjp(_tail, v2, vd, blk)
+        tail_ct = {k: _d_stats[k] for k in ("conv2", "conv3", "downsample")}
+        dv2, dvd, d_blk_tail = tail_vjp((d_out, tail_ct))
+
+        n1 = float(np.prod(v1.shape[:-1]))
+        _, a1, b1 = _fold(
+            m1, var1, blk["conv1"]["bn"]["scale"], blk["conv1"]["bn"]["bias"], dtype
+        )
+        w1 = blk["conv1"]["conv"]["kernel"]
+        w2 = blk["conv2"]["conv"]["kernel"]
+        wd = blk["downsample"]["conv"]["kernel"]
+
+        # P1 (identical to the entry unit): BN1 sums + conv2 dW + dz1.
+        y1 = jax.nn.relu(v1 * a1 + b1)
+        g1 = _conv_dx(dv2, w2, v1.shape, dtype, stride=2, pad=1, groups=groups)
+        dz1 = jnp.where(v1 * a1 + b1 > 0, g1, jnp.zeros_like(g1))
+        dz1f = dz1.astype(jnp.float32)
+        S0 = jnp.sum(dz1f, axis=tuple(range(dz1.ndim - 1)))
+        S1 = jnp.sum(dz1f * v1.astype(jnp.float32), axis=tuple(range(dz1.ndim - 1)))
+        dW2 = _conv_dw(y1, dv2, w2.shape, stride=2, pad=1, groups=groups)
+        k0, k1, d_g1s, d_b1s = _bn_bwd_coeffs(
+            S0, S1, m1, var1, blk["conv1"]["bn"]["scale"], n1
+        )
+
+        if use_pallas:
+            blk_k = {**blk, "_k": (k0, k1)}
+
+            def _p2_local(v1_, dz1_, xs_, x_, dvd_, blk_, m1_, var1_):
+                return p2_shift_backward(
+                    v1_, dz1_, xs_, x_, dvd_, blk_, m1_, var1_,
+                    interpret=interpret, rounding=rounding,
+                )
+
+            if shard_p2:
+                P = jax.sharding.PartitionSpec
+
+                def _p2_shard(*a):
+                    outs = _p2_local(*a)
+                    return outs[:2] + tuple(
+                        jax.lax.psum(o, data_axis) for o in outs[2:]
+                    )
+
+                run_p2 = _shard_map(
+                    _p2_shard,
+                    mesh=mesh,
+                    in_specs=(P(data_axis),) * 5 + (P(),) * 3,
+                    out_specs=(P(data_axis),) * 2 + (P(),) * 2,
+                    check_vma=False,
+                )
+            else:
+                run_p2 = _p2_local
+
+            dxs, dxd, dW1, dWd = run_p2(v1, dz1, xs, x, dvd, blk_k, m1, var1)
+        else:
+            dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
+            dW1 = _conv_dw(xs, dv1, w1.shape)
+            dWd = _conv_dw(x, dvd, wd.shape, stride=2, pad=0)
+            dxs = _conv_dx(dv1, w1, xs.shape, dtype)
+            dxd = _conv_dx(dvd, wd, x.shape, dtype, stride=2, pad=0)
+
+        d_blk = dict(d_blk_tail)
+        d_blk["conv1"] = {
+            "conv": {"kernel": dW1},
+            "bn": {"scale": d_g1s, "bias": d_b1s},
+        }
+        d_blk["conv2"] = {
+            "conv": {"kernel": dW2},
+            "bn": d_blk_tail["conv2"]["bn"],
+        }
+        d_blk["downsample"] = {
+            "conv": {"kernel": dWd},
+            "bn": d_blk_tail["downsample"]["bn"],
+        }
+        return dxs, dxd, {"blk": d_blk}
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused

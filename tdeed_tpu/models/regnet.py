@@ -131,9 +131,38 @@ class SEModule(nn.Module):
         return x * nn.sigmoid(s)
 
 
+def _select_pallas(mesh) -> bool:
+    """Auto Pallas selection for the fused paths: TPU-only, and on a
+    multi-device world only with an explicit DP mesh (pallas_call is
+    opaque to GSPMD; the shard_map wrapper needs the mesh).
+    FUSE_PALLAS=0/1 overrides (A/B tooling)."""
+    env = os.environ.get("FUSE_PALLAS", "auto")
+    if env != "auto":
+        return env == "1"
+    return jax.default_backend() != "cpu" and (
+        jax.device_count() == 1 or mesh is not None
+    )
+
+
+def _mix_bn_stats(old_bn, mv):
+    """Momentum-mixed running stats the plain SplitBatchNorm path writes."""
+    mom = SplitBatchNorm.momentum
+    m, v = mv
+    return {"bn": {
+        "mean": mom * old_bn["bn"]["mean"] + (1 - mom) * m,
+        "var": mom * old_bn["bn"]["var"] + (1 - mom) * v,
+    }}
+
+
 class YBlock(nn.Module):
     """RegNet-Y bottleneck block (bottle_ratio=1) with optional temporal shift
-    applied to the block input before conv1 (ref: model/shift.py:89-93)."""
+    applied to the block input before conv1 (ref: model/shift.py:89-93).
+
+    fuse: on the training path, route the post-shift block through the
+    recompute-in-backward custom VJP (kernels/fused_block.py
+    make_fused_shift_block) — only meaningful for stride-2 shift blocks
+    (s3_b1/s4_b1). The shift itself (and its backward) stays in XLA; the
+    param/batch_stats trees are unchanged."""
 
     width: int
     in_width: int
@@ -141,16 +170,35 @@ class YBlock(nn.Module):
     group_size: int
     shift: Optional[str] = None  # None | 'gsm' | 'gsf'
     clip_len: int = 0
+    fuse: bool = False
+    mesh: Any = None
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         shortcut = x
         if self.shift is not None:
-            x = GatedShift(
+            xg = GatedShift(
                 clip_len=self.clip_len, mode=self.shift, dtype=self.dtype,
                 name="gs"
             )(x, train)
+            if (self.fuse and self.stride == 2 and train
+                    and not self.is_initializing()):
+                fn = _fused_shift_fn(
+                    self.width // self.group_size,
+                    _select_pallas(self.mesh), self.mesh,
+                )
+                params = self.variables["params"]
+                p = {"blk": {k: params[k] for k in
+                             ("conv1", "conv2", "se", "conv3", "downsample")}}
+                out, stats = fn(xg, x, p)
+                old = self.variables["batch_stats"]
+                for k in ("conv1", "conv2", "conv3", "downsample"):
+                    self.put_variable(
+                        "batch_stats", k, _mix_bn_stats(old[k], stats[k])
+                    )
+                return out
+            x = xg
         w = self.width
         out = ConvBN(w, 1, dtype=self.dtype, name="conv1")(x, train)
         out = ConvBN(
@@ -179,6 +227,15 @@ def _fused_entry_fn(groups: int, with_stem: bool, use_pallas: bool, mesh):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_shift_fn(groups: int, use_pallas: bool, mesh):
+    from tdeed_tpu.kernels.fused_block import make_fused_shift_block
+
+    return make_fused_shift_block(
+        groups=groups, use_pallas=use_pallas, mesh=mesh
+    )
+
+
 class RegNetY(nn.Module):
     """RegNet-Y trunk -> global-average-pooled features (N, D).
 
@@ -195,6 +252,7 @@ class RegNetY(nn.Module):
     shift_mode: Optional[str] = None
     clip_len: int = 0
     fuse_entry: bool = False
+    fuse_shift: bool = False  # fused stride-2 shift blocks (s3_b1/s4_b1)
     mesh: Any = None  # DP mesh for the fused path's shard_map'd Pallas P2
     dtype: Any = None
 
@@ -203,19 +261,9 @@ class RegNetY(nn.Module):
         write the momentum-mixed running stats the plain path would have."""
         # Pallas single-pass backward on TPU; the jnp formulation is the
         # CPU path (and the correctness oracle in tests/test_fused_block.py).
-        # Auto also requires a single-device world OR an explicit DP mesh:
-        # pallas_call is opaque to GSPMD, so on a multi-chip mesh the kernel
-        # runs under shard_map (mesh given) or falls back to the jnp
-        # formulation, whose global math XLA partitions + psums correctly.
-        # FUSE_PALLAS=0/1 overrides the auto selection (A/B tooling).
-        env = os.environ.get("FUSE_PALLAS", "auto")
-        use_pallas = (
-            jax.default_backend() != "cpu"
-            and (jax.device_count() == 1 or self.mesh is not None)
-            if env == "auto"
-            else env == "1"
+        fn = _fused_entry_fn(
+            w // g, with_stem, _select_pallas(self.mesh), self.mesh
         )
-        fn = _fused_entry_fn(w // g, with_stem, use_pallas, self.mesh)
         params = self.variables["params"]
         old = self.variables["batch_stats"]
         p = {"blk": params[block]}
@@ -223,19 +271,13 @@ class RegNetY(nn.Module):
             p["stem"] = params["stem"]
         x, stats = fn(x, p)
 
-        mom = SplitBatchNorm.momentum
-        def mix(old_bn, mv):
-            m, v = mv
-            return {"bn": {
-                "mean": mom * old_bn["bn"]["mean"] + (1 - mom) * m,
-                "var": mom * old_bn["bn"]["var"] + (1 - mom) * v,
-            }}
-
         if with_stem:
-            self.put_variable("batch_stats", "stem", mix(old["stem"], stats["stem"]))
+            self.put_variable(
+                "batch_stats", "stem", _mix_bn_stats(old["stem"], stats["stem"])
+            )
         self.put_variable(
             "batch_stats", block,
-            {k: mix(old[block][k], stats[k])
+            {k: _mix_bn_stats(old[block][k], stats[k])
              for k in ("conv1", "conv2", "conv3", "downsample")},
         )
         return x
@@ -267,6 +309,8 @@ class RegNetY(nn.Module):
                         group_size=g,
                         shift=self.shift_mode if use_shift else None,
                         clip_len=self.clip_len,
+                        fuse=self.fuse_shift,
+                        mesh=self.mesh,
                         dtype=self.dtype,
                         name=f"s{si + 1}_b{bi + 1}",
                     )(x, train)

@@ -38,7 +38,8 @@ class TDEED(nn.Module):
     two_heads: Optional[Sequence[int]] = None  # (C1+1, C2+1) incl. backgrounds
     checkpoint_backbone: bool = False
     fuse_entry: bool = False
-    mesh: Any = None  # DP mesh, forwarded to the fused entry path
+    fuse_shift: bool = False
+    mesh: Any = None  # DP mesh, forwarded to the fused paths
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -61,6 +62,7 @@ class TDEED(nn.Module):
             shift_mode=shift_mode,
             clip_len=self.clip_len,
             fuse_entry=self.fuse_entry,
+            fuse_shift=self.fuse_shift,
             mesh=self.mesh,
             dtype=self.dtype,
             name="features",
@@ -120,6 +122,7 @@ def build_model(cfg, two_heads=None, mesh=None) -> TDEED:
         two_heads=two_heads,
         checkpoint_backbone=cfg.checkpoint_backbone,
         fuse_entry=cfg.fuse_entry,
+        fuse_shift=getattr(cfg, "fuse_shift", False),
         mesh=mesh,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )

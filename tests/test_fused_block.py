@@ -278,6 +278,124 @@ def test_pallas_dp_shard_map(with_stem):
     )
 
 
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+def test_shift_block_fused_vs_plain(dtype):
+    """YBlock(fuse=True) — the stride-2 shift block routed through
+    make_fused_shift_block (jnp formulation on CPU) — must match the plain
+    flax composition in forward, stat updates, and every gradient."""
+    clip_len, b = 4, 2
+    n = b * clip_len
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), dtype or jnp.float32)
+
+    def build(fuse):
+        return YBlock(
+            width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
+            shift="gsf", clip_len=clip_len, fuse=fuse, dtype=dtype,
+        )
+
+    plain, fused = build(False), build(True)
+    variables = plain.init(jax.random.PRNGKey(2), x, False)
+    # perturb BN params so stat gradients matter
+    params = jax.tree.map(
+        lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+        variables["params"],
+    )
+    tols = _tols(dtype)
+
+    outs, stats, grads = {}, {}, {}
+    w = jnp.asarray(rng.normal(size=(n, H // 2, H // 2, BLK_W)), jnp.float32)
+    for name, mod in (("plain", plain), ("fused", fused)):
+        def loss(p, x_, mod=mod):
+            out, upd = mod.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x_, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32) * w), (out, upd)
+
+        (l, (out, upd)), g = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(
+            params, x
+        )
+        outs[name], stats[name], grads[name] = out, upd["batch_stats"], g
+
+    np.testing.assert_allclose(
+        np.asarray(outs["fused"], np.float32), np.asarray(outs["plain"], np.float32),
+        **tols,
+    )
+    flat_s = jax.tree_util.tree_flatten_with_path(stats["plain"])[0]
+    flat_sf = dict(jax.tree_util.tree_flatten_with_path(stats["fused"])[0])
+    for path, leaf in flat_s:
+        np.testing.assert_allclose(
+            np.asarray(flat_sf[path], np.float32), np.asarray(leaf, np.float32),
+            err_msg=jax.tree_util.keystr(path), **tols,
+        )
+    gp_p, gx_p = grads["plain"]
+    gp_f, gx_f = grads["fused"]
+    flat_p = jax.tree_util.tree_flatten_with_path(gp_p)[0]
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(gp_f)[0])
+    for path, leaf in flat_p:
+        ref = np.asarray(leaf, np.float32)
+        got = np.asarray(flat_f[path], np.float32)
+        den = max(1e-3, float(np.abs(ref).max()))
+        err = float(np.abs(got - ref).max()) / den
+        assert err < tols["rtol"] * 5 + 1e-6, (
+            f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(gx_f, np.float32), np.asarray(gx_p, np.float32), **tols
+    )
+
+
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+def test_shift_unit_pallas_matches_jnp(dtype):
+    """make_fused_shift_block Pallas P2 (interpret) vs the jnp formulation:
+    gradients w.r.t. xs, x, and every parameter."""
+    from tdeed_tpu.kernels.fused_block import make_fused_shift_block
+
+    n = 8
+    rng = np.random.default_rng(13)
+    xs = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), dtype or jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), dtype or jnp.float32)
+    donor = YBlock(
+        width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
+        dtype=dtype,
+    )
+    params = donor.init(jax.random.PRNGKey(3), np.asarray(x), False)["params"]
+    p = {"blk": {k: params[k]
+                 for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
+    groups = BLK_W // GROUP_SIZE
+    ref_fn = make_fused_shift_block(groups=groups)
+    pls_fn = make_fused_shift_block(groups=groups, use_pallas=True, interpret=True)
+    w = jnp.asarray(rng.normal(size=(n, H // 2, H // 2, BLK_W)), jnp.float32)
+
+    def loss(fn):
+        return lambda xs_, x_, p_: jnp.sum(
+            fn(xs_, x_, p_)[0].astype(jnp.float32) * w
+        )
+
+    g_ref = jax.grad(loss(ref_fn), argnums=(0, 1, 2))(xs, x, p)
+    g_pls = jax.grad(loss(pls_fn), argnums=(0, 1, 2))(xs, x, p)
+    tols = _tols(dtype)
+    for name, ref, got in (
+        ("d_xs", g_ref[0], g_pls[0]),
+        ("d_x", g_ref[1], g_pls[1]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            err_msg=name, **tols,
+        )
+    flat_r = jax.tree_util.tree_flatten_with_path(g_ref[2])[0]
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(g_pls[2])[0])
+    for path, leaf in flat_r:
+        ref = np.asarray(leaf, np.float32)
+        got = np.asarray(flat_g[path], np.float32)
+        den = max(1e-3, float(np.abs(ref).max()))
+        err = float(np.abs(got - ref).max()) / den
+        assert err < tols["rtol"] * 5 + 1e-6, (
+            f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
+        )
+
+
 def test_train_step_fused_vs_plain():
     """Full train-step integration of the fused entry path (jnp formulation
     on CPU): two AdamW steps with fuse_entry on/off from identical weights
@@ -348,6 +466,57 @@ def test_train_step_fused_vs_plain():
             flat_bf[path], leaf, atol=1e-3, rtol=2e-2,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_shift_unit_pallas_dp_shard_map():
+    """Shift-variant Pallas P2 under shard_map on the 8-device mesh vs the
+    single-device jnp formulation (fp32)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tdeed_tpu.kernels.fused_block import make_fused_shift_block
+    from tdeed_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(8)
+    n = 8
+    rng = np.random.default_rng(17)
+    xs = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), jnp.float32)
+    donor = YBlock(
+        width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
+    )
+    params = donor.init(jax.random.PRNGKey(3), np.asarray(x), False)["params"]
+    p = {"blk": {k: params[k]
+                 for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
+    groups = BLK_W // GROUP_SIZE
+    ref_fn = make_fused_shift_block(groups=groups)
+    dp_fn = make_fused_shift_block(
+        groups=groups, use_pallas=True, interpret=True, mesh=mesh
+    )
+    w = jnp.asarray(rng.normal(size=(n, H // 2, H // 2, BLK_W)), jnp.float32)
+
+    def loss(fn):
+        return lambda xs_, x_, p_: jnp.sum(
+            fn(xs_, x_, p_)[0].astype(jnp.float32) * w
+        )
+
+    g_ref = jax.grad(loss(ref_fn), argnums=(0, 1, 2))(xs, x, p)
+    sh = batch_sharding(mesh)
+    g_dp = jax.jit(jax.grad(loss(dp_fn), argnums=(0, 1, 2)))(
+        jax.device_put(xs, sh), jax.device_put(x, sh), p
+    )
+    for name, ref, got in (("d_xs", g_ref[0], g_dp[0]), ("d_x", g_ref[1], g_dp[1])):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=1e-4, atol=1e-5, err_msg=name,
+        )
+    flat_r = jax.tree_util.tree_flatten_with_path(g_ref[2])[0]
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(g_dp[2])[0])
+    for path, leaf in flat_r:
+        ref = np.asarray(leaf, np.float32)
+        got = np.asarray(flat_g[path], np.float32)
+        den = max(1e-3, float(np.abs(ref).max()))
+        err = float(np.abs(got - ref).max()) / den
+        assert err < 1e-4, f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
 
 
 def test_snap_bf16_matches_astype_roundtrip():

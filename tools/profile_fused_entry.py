@@ -61,14 +61,22 @@ def main():
         return (time.perf_counter() - t0) / (n - 1), float(m["loss"])
 
     results = {}
-    variants = [("plain", False, None), ("fused-jnp", True, "0"),
-                ("fused-pallas", True, "1")]
-    for name, fuse, pallas_env in variants:
+    # (name, fuse_entry, fuse_shift, FUSE_PALLAS env)
+    variants = [
+        ("plain", False, False, None),
+        ("fused-jnp", True, False, "0"),
+        ("fused-pallas", True, False, "1"),
+        ("shift-pallas", False, True, "1"),
+        ("all-pallas", True, True, "1"),
+    ]
+    for name, fuse, fuse_shift, pallas_env in variants:
         if pallas_env is None:
             os.environ.pop("FUSE_PALLAS", None)
         else:
             os.environ["FUSE_PALLAS"] = pallas_env
-        model = build_model(dataclasses.replace(cfg, fuse_entry=fuse))
+        model = build_model(
+            dataclasses.replace(cfg, fuse_entry=fuse, fuse_shift=fuse_shift)
+        )
         variables = jax.jit(model.init, static_argnums=(2,))(
             rng, jnp.zeros((1, T, S, S, 3), jnp.float32), False
         )
@@ -89,7 +97,7 @@ def main():
               f"{B*T/sec:9.0f} frames/s  loss@20={last_loss:.4f}", flush=True)
 
     if "plain" in results:
-        for name in ("fused-jnp", "fused-pallas"):
+        for name in ("fused-jnp", "fused-pallas", "shift-pallas", "all-pallas"):
             if name in results:
                 d = (results["plain"] - results[name]) * 1e3
                 print(f"delta[{name}]: {d:+.2f} ms "
