@@ -43,6 +43,7 @@ def build():
         feature_arch="rny002_gsf", n_layers=2, sgp_ks=7, sgp_r=4,
         radi_displacement=2,
         fuse_entry=os.environ.get("FUSE_ENTRY", "") == "1",
+        fuse_shift=os.environ.get("FUSE_SHIFT", "") == "1",
     )
     model = build_model(cfg)
     r = np.random.default_rng(0)
