@@ -619,6 +619,190 @@ def p2_shift_backward(v1, dz1, xs, x, dvd, blk, m1, var1,
             dW1.reshape(1, 1, Cin, C), dWd.reshape(1, 1, Cin, C))
 
 
+def _p2_conv1_pallas_call(v1t, dz1t, xt, ab1, kk, w1,
+                          *, interpret: bool, rounding: str = "single"):
+    """Reduced P2 for the standalone conv1x1+BN+relu unit: one pass over
+    (v1, dz1, x) -> (dx, dW1). Same transposed (H, W, C, N) view, grid and
+    rounding semantics as ``_p2_pallas_call`` without the downsample/stem
+    machinery. Used by ``make_fused_conv_bn_relu`` for the stride-1
+    blocks, where a full-block fusion would pay a same-resolution tail
+    recompute that cancels the win."""
+    H_, W_, C, Nn = v1t.shape
+    Cin = xt.shape[2]
+    wb = W_ // 2
+    assert W_ % 2 == 0, (H_, W_)
+    nb = min(256, Nn)
+    n_steps = -(-Nn // nb)
+    grid = (2, n_steps, H_)
+    f32 = jnp.float32
+    cdt = v1t.dtype
+
+    def kernel(ab1_ref, kk_ref, w1_ref, v_ref, g_ref, x_ref,
+               dx_ref, dw1_ref):
+        j, nbi, h = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        @pl.when((j == 0) & (nbi == 0) & (h == 0))
+        def _():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+
+        a1 = ab1_ref[0]
+        k1 = kk_ref[0]
+        k0 = kk_ref[1]
+        w1v = w1_ref[...]
+        okc = jax.lax.broadcasted_iota(jnp.int32, (C, nb), 1) + nbi * nb < Nn
+        okcin = jax.lax.broadcasted_iota(jnp.int32, (Cin, nb), 1) + nbi * nb < Nn
+        zb = jnp.zeros((), cdt)
+        zf = jnp.zeros((), f32)
+        snap = _snap_bf16 if cdt == jnp.bfloat16 else (lambda t: t)
+        per_op = rounding == "per-op"
+        a1f = a1.astype(f32)
+
+        def body(i, dw1_acc):
+            v = v_ref[0, i]
+            dzf = jnp.where(okc, g_ref[0, i], zb).astype(f32)
+            if per_op:
+                dv1f = snap(snap(dzf * a1f) + snap(v.astype(f32) * k1 + k0))
+            else:
+                dv1f = snap(dzf * a1f + (v.astype(f32) * k1 + k0))
+            dv1 = jnp.where(okc, dv1f, zf).astype(cdt)
+            x_i = jnp.where(okcin, x_ref[0, i], zb)
+            dx_ref[0, i] = snap(
+                jax.lax.dot(w1v, dv1, preferred_element_type=f32)
+            ).astype(cdt)
+            return dw1_acc + jax.lax.dot_general(
+                x_i, dv1, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+
+        dw1_ref[...] += jax.lax.fori_loop(
+            0, wb, body, jnp.zeros((Cin, C), f32)
+        )
+
+    const = lambda shape: pl.BlockSpec(shape, lambda j, nbi, h: (0,) * len(shape))
+    big = lambda cdim: pl.BlockSpec(
+        (1, wb, cdim, nb), lambda j, nbi, h: (h, j, 0, nbi)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[const((2, C, 1)), const((2, C, 1)), const((Cin, C)),
+                  big(C), big(C), big(Cin)],
+        out_specs=[big(Cin), const((Cin, C))],
+        out_shape=[
+            jax.ShapeDtypeStruct((H_, W_, Cin, Nn), cdt),
+            jax.ShapeDtypeStruct((Cin, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ab1, kk, w1, v1t, dz1t, xt)
+
+
+def make_fused_conv_bn_relu(
+    *,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    rounding: Optional[str] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+):
+    """Standalone fused conv1x1 + SplitBatchNorm + relu:
+    ``fn(x, p) -> (y, (m, var))`` with a single-pass backward.
+
+    ``p`` is a ConvBN subtree ({'conv': {'kernel'}, 'bn': {'scale','bias'}}).
+    This is the conv1 of the stride-1 YBlocks (models/regnet.py) — the
+    rest of those blocks stays on flax autodiff (a full-block fusion would
+    re-run the tail forward at the SAME resolution in the backward,
+    cancelling the P2 win that made the stride-2 units profitable). The
+    backward eliminates XLA's dv1 materializations: P1 (XLA) masks the
+    cotangent and takes the two BN sums; P2 streams (v1, dz1, x) once for
+    dx + dW."""
+    if rounding is None:
+        rounding = "per-op" if interpret else "single"
+    shard_p2 = (
+        mesh is not None and use_pallas and mesh.shape.get(data_axis, 1) > 1
+    )
+
+    def fwd_only(x, p):
+        v1 = _conv(x, p["conv"]["kernel"])
+        m1, var1 = _stats(v1)
+        _, a1, b1 = _fold(m1, var1, p["bn"]["scale"], p["bn"]["bias"], v1.dtype)
+        return jax.nn.relu(v1 * a1 + b1), (m1, var1)
+
+    @jax.custom_vjp
+    def fused(x, p):
+        return fwd_only(x, p)
+
+    def fused_fwd(x, p):
+        v1 = _conv(x, p["conv"]["kernel"])
+        m1, var1 = _stats(v1)
+        _, a1, b1 = _fold(m1, var1, p["bn"]["scale"], p["bn"]["bias"], v1.dtype)
+        y1 = jax.nn.relu(v1 * a1 + b1)
+        return (y1, (m1, var1)), (x, v1, m1, var1, p)
+
+    def fused_bwd(res, ct):
+        x, v1, m1, var1, p = res
+        g1, _ = ct  # stat cotangents are zero by construction
+        dtype = v1.dtype
+        n1 = float(np.prod(v1.shape[:-1]))
+        _, a1, b1 = _fold(m1, var1, p["bn"]["scale"], p["bn"]["bias"], dtype)
+        w1 = p["conv"]["kernel"]
+
+        dz1 = jnp.where(v1 * a1 + b1 > 0, g1, jnp.zeros_like(g1))
+        dz1f = dz1.astype(jnp.float32)
+        S0 = jnp.sum(dz1f, axis=tuple(range(dz1.ndim - 1)))
+        S1 = jnp.sum(dz1f * v1.astype(jnp.float32), axis=tuple(range(dz1.ndim - 1)))
+        k0, k1, d_scale, d_bias = _bn_bwd_coeffs(
+            S0, S1, m1, var1, p["bn"]["scale"], n1
+        )
+
+        if use_pallas:
+
+            def _p2_local(v1_, dz1_, x_, w1_, a1_, k0_, k1_):
+                t = lambda a: jnp.transpose(a, (1, 2, 3, 0))
+                C = w1_.shape[-1]
+                ab1 = jnp.stack(
+                    [a1_, jnp.zeros_like(a1_)]
+                ).reshape(2, C, 1)
+                kk = jnp.stack([k1_.astype(jnp.float32),
+                                k0_.astype(jnp.float32)]).reshape(2, C, 1)
+                dx_, dW_ = _p2_conv1_pallas_call(
+                    t(v1_), t(dz1_), t(x_), ab1, kk,
+                    w1_[0, 0].astype(v1_.dtype),
+                    interpret=interpret, rounding=rounding,
+                )
+                return (jnp.transpose(dx_, (3, 0, 1, 2)),
+                        dW_.reshape(w1_.shape))
+
+            if shard_p2:
+                P = jax.sharding.PartitionSpec
+
+                def _p2_shard(*a):
+                    dx_, dW_ = _p2_local(*a)
+                    return dx_, jax.lax.psum(dW_, data_axis)
+
+                run_p2 = _shard_map(
+                    _p2_shard,
+                    mesh=mesh,
+                    in_specs=(P(data_axis),) * 3 + (P(),) * 4,
+                    out_specs=(P(data_axis), P()),
+                    check_vma=False,
+                )
+            else:
+                run_p2 = _p2_local
+
+            dx, dW1 = run_p2(v1, dz1, x, w1, a1, k0, k1)
+        else:
+            dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
+            dW1 = _conv_dw(x, dv1, w1.shape)
+            dx = _conv_dx(dv1, w1, x.shape, dtype)
+
+        return dx, {
+            "conv": {"kernel": dW1},
+            "bn": {"scale": d_scale, "bias": d_bias},
+        }
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
 # ---------------------------------------------------------------------------
 # The fused op factory
 # ---------------------------------------------------------------------------

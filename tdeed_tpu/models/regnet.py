@@ -200,7 +200,20 @@ class YBlock(nn.Module):
                 return out
             x = xg
         w = self.width
-        out = ConvBN(w, 1, dtype=self.dtype, name="conv1")(x, train)
+        if (self.fuse and self.stride == 1 and train
+                and not self.is_initializing()):
+            # stride-1 blocks: fuse only the conv1+BN+relu backward (a
+            # full-block fusion would re-run the tail at the same
+            # resolution — see kernels/fused_block.py
+            # make_fused_conv_bn_relu).
+            fn = _fused_conv1_fn(_select_pallas(self.mesh), self.mesh)
+            out, mv = fn(x, self.variables["params"]["conv1"])
+            self.put_variable(
+                "batch_stats", "conv1",
+                _mix_bn_stats(self.variables["batch_stats"]["conv1"], mv),
+            )
+        else:
+            out = ConvBN(w, 1, dtype=self.dtype, name="conv1")(x, train)
         out = ConvBN(
             w, 3, strides=self.stride, groups=w // self.group_size,
             dtype=self.dtype, name="conv2",
@@ -234,6 +247,13 @@ def _fused_shift_fn(groups: int, use_pallas: bool, mesh):
     return make_fused_shift_block(
         groups=groups, use_pallas=use_pallas, mesh=mesh
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_conv1_fn(use_pallas: bool, mesh):
+    from tdeed_tpu.kernels.fused_block import make_fused_conv_bn_relu
+
+    return make_fused_conv_bn_relu(use_pallas=use_pallas, mesh=mesh)
 
 
 class RegNetY(nn.Module):

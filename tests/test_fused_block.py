@@ -396,6 +396,132 @@ def test_shift_unit_pallas_matches_jnp(dtype):
         )
 
 
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+def test_stride1_block_fused_conv1_vs_plain(dtype):
+    """Stride-1 shift YBlock with fuse=True (conv1-unit fusion, jnp path on
+    CPU) vs the plain composition: forward, stat updates, gradients."""
+    clip_len, b = 4, 2
+    n = b * clip_len
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.normal(size=(n, H, H, BLK_W)), dtype or jnp.float32)
+
+    def build(fuse):
+        return YBlock(
+            width=BLK_W, in_width=BLK_W, stride=1, group_size=GROUP_SIZE,
+            shift="gsf", clip_len=clip_len, fuse=fuse, dtype=dtype,
+        )
+
+    plain, fused = build(False), build(True)
+    variables = plain.init(jax.random.PRNGKey(2), x, False)
+    params = jax.tree.map(
+        lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+        variables["params"],
+    )
+    tols = _tols(dtype)
+    w = jnp.asarray(rng.normal(size=(n, H, H, BLK_W)), jnp.float32)
+
+    res = {}
+    for name, mod in (("plain", plain), ("fused", fused)):
+        def loss(p, x_, mod=mod):
+            out, upd = mod.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x_, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32) * w), (out, upd)
+
+        (_, (out, upd)), g = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(params, x)
+        res[name] = (out, upd["batch_stats"], g)
+
+    np.testing.assert_allclose(
+        np.asarray(res["fused"][0], np.float32),
+        np.asarray(res["plain"][0], np.float32), **tols,
+    )
+    flat_s = jax.tree_util.tree_flatten_with_path(res["plain"][1])[0]
+    flat_sf = dict(jax.tree_util.tree_flatten_with_path(res["fused"][1])[0])
+    for path, leaf in flat_s:
+        np.testing.assert_allclose(
+            np.asarray(flat_sf[path], np.float32), np.asarray(leaf, np.float32),
+            err_msg=jax.tree_util.keystr(path), **tols,
+        )
+    (gp_p, gx_p), (gp_f, gx_f) = res["plain"][2], res["fused"][2]
+    flat_p = jax.tree_util.tree_flatten_with_path(gp_p)[0]
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(gp_f)[0])
+    for path, leaf in flat_p:
+        ref = np.asarray(leaf, np.float32)
+        got = np.asarray(flat_f[path], np.float32)
+        den = max(1e-3, float(np.abs(ref).max()))
+        err = float(np.abs(got - ref).max()) / den
+        assert err < tols["rtol"] * 5 + 1e-6, (
+            f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(gx_f, np.float32), np.asarray(gx_p, np.float32), **tols
+    )
+
+
+@pytest.mark.parametrize("dp", [False, True])
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+def test_conv1_unit_pallas_matches_jnp(dtype, dp):
+    """make_fused_conv_bn_relu Pallas P2 (interpret) vs the jnp
+    formulation; dp=True additionally runs it under shard_map on the
+    8-device mesh (fp32 only)."""
+    from tdeed_tpu.kernels.fused_block import make_fused_conv_bn_relu
+
+    if dp:
+        if dtype is not None:
+            pytest.skip("DP comparison is fp32-only")
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+    from tdeed_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    n = 8
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), dtype or jnp.float32)
+    donor = nn.Conv(BLK_W, (1, 1), use_bias=False)
+    kernel = donor.init(jax.random.PRNGKey(5), x)["params"]["kernel"]
+    p = {
+        "conv": {"kernel": jnp.asarray(kernel, jnp.float32)},
+        "bn": {
+            "scale": 1.0 + 0.1 * jnp.arange(BLK_W, dtype=jnp.float32) / BLK_W,
+            "bias": 0.05 * jnp.arange(BLK_W, dtype=jnp.float32) / BLK_W,
+        },
+    }
+    mesh = make_mesh(8) if dp else None
+    ref_fn = make_fused_conv_bn_relu()
+    pls_fn = make_fused_conv_bn_relu(
+        use_pallas=True, interpret=True, mesh=mesh
+    )
+    w = jnp.asarray(rng.normal(size=(n, H, H, BLK_W)), jnp.float32)
+
+    def loss(fn):
+        return lambda x_, p_: jnp.sum(fn(x_, p_)[0].astype(jnp.float32) * w)
+
+    g_ref = jax.grad(loss(ref_fn), argnums=(0, 1))(x, p)
+    if dp:
+        x_in = jax.device_put(x, batch_sharding(mesh))
+        g_pls = jax.jit(jax.grad(loss(pls_fn), argnums=(0, 1)))(x_in, p)
+        tols = dict(rtol=1e-4, atol=1e-5)
+    else:
+        g_pls = jax.grad(loss(pls_fn), argnums=(0, 1))(x, p)
+        tols = _tols(dtype)
+    np.testing.assert_allclose(
+        np.asarray(g_pls[0], np.float32), np.asarray(g_ref[0], np.float32),
+        err_msg="d_x", **tols,
+    )
+    flat_r = jax.tree_util.tree_flatten_with_path(g_ref[1])[0]
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(g_pls[1])[0])
+    for path, leaf in flat_r:
+        ref = np.asarray(leaf, np.float32)
+        got = np.asarray(flat_g[path], np.float32)
+        den = max(1e-3, float(np.abs(ref).max()))
+        err = float(np.abs(got - ref).max()) / den
+        assert err < tols["rtol"] * 5 + 1e-6, (
+            f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
+        )
+
+
 def test_train_step_fused_vs_plain():
     """Full train-step integration of the fused entry path (jnp formulation
     on CPU): two AdamW steps with fuse_entry on/off from identical weights

@@ -190,6 +190,37 @@ def main():
             flat_p[path], leaf, 2e-2, 2e-2,
         )
 
+    # --- fused conv1 unit (stride-1 blocks): Pallas P2 vs jnp -----------
+    from tdeed_tpu.kernels.fused_block import make_fused_conv_bn_relu
+
+    xc = jnp.asarray(rng.standard_normal((24, 32, 32, STEM_W)), jnp.bfloat16)
+    cp = {
+        "conv": {"kernel": jnp.asarray(
+            rng.standard_normal((1, 1, STEM_W, BLK_W)) * 0.2, jnp.float32
+        )},
+        "bn": {
+            "scale": 1.0 + 0.1 * jnp.arange(BLK_W, dtype=jnp.float32) / BLK_W,
+            "bias": 0.05 * jnp.arange(BLK_W, dtype=jnp.float32) / BLK_W,
+        },
+    }
+    wc = jnp.asarray(rng.standard_normal((24, 32, 32, BLK_W)), jnp.float32)
+    cgrads = {}
+    for up in (False, True):
+        fn = make_fused_conv_bn_relu(use_pallas=up)
+
+        def loss(pp, a, fn=fn):
+            out, _ = fn(a, pp)
+            return jnp.sum(out.astype(jnp.float32) * wc)
+
+        cgrads[up] = jax.jit(jax.grad(loss, argnums=(0, 1)))(cp, xc)
+    flat_j = jax.tree_util.tree_flatten_with_path(cgrads[False])[0]
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(cgrads[True])[0])
+    for path, leaf in flat_j:
+        check(
+            f"fused_conv1 grad{jax.tree_util.keystr(path)}",
+            flat_p[path], leaf, 2e-2, 2e-2,
+        )
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
