@@ -629,11 +629,13 @@ def _p2_conv1_pallas_call(v1t, dz1t, xt, ab1, kk, w1,
     recompute that cancels the win."""
     H_, W_, C, Nn = v1t.shape
     Cin = xt.shape[2]
-    wb = W_ // 2
-    assert W_ % 2 == 0, (H_, W_)
+    # split W in half at the big geometries; odd W (the 7x7 s4 rows at
+    # 224^2 crops) runs the whole row as one block
+    j_steps = 2 if W_ % 2 == 0 else 1
+    wb = W_ // j_steps
     nb = min(256, Nn)
     n_steps = -(-Nn // nb)
-    grid = (2, n_steps, H_)
+    grid = (j_steps, n_steps, H_)
     f32 = jnp.float32
     cdt = v1t.dtype
 

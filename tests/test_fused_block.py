@@ -461,24 +461,25 @@ def test_stride1_block_fused_conv1_vs_plain(dtype):
     )
 
 
+@pytest.mark.parametrize("hw", [H, 7])  # 7: the odd s4 rows at 224^2 crops
 @pytest.mark.parametrize("dp", [False, True])
 @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
-def test_conv1_unit_pallas_matches_jnp(dtype, dp):
+def test_conv1_unit_pallas_matches_jnp(dtype, dp, hw):
     """make_fused_conv_bn_relu Pallas P2 (interpret) vs the jnp
     formulation; dp=True additionally runs it under shard_map on the
     8-device mesh (fp32 only)."""
     from tdeed_tpu.kernels.fused_block import make_fused_conv_bn_relu
 
     if dp:
-        if dtype is not None:
-            pytest.skip("DP comparison is fp32-only")
+        if dtype is not None or hw != H:
+            pytest.skip("DP comparison is fp32/even-geometry only")
         if jax.device_count() < 8:
             pytest.skip("needs 8 devices")
     from tdeed_tpu.parallel.mesh import batch_sharding, make_mesh
 
     n = 8
     rng = np.random.default_rng(23)
-    x = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), dtype or jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), dtype or jnp.float32)
     donor = nn.Conv(BLK_W, (1, 1), use_bias=False)
     kernel = donor.init(jax.random.PRNGKey(5), x)["params"]["kernel"]
     p = {
@@ -493,7 +494,7 @@ def test_conv1_unit_pallas_matches_jnp(dtype, dp):
     pls_fn = make_fused_conv_bn_relu(
         use_pallas=True, interpret=True, mesh=mesh
     )
-    w = jnp.asarray(rng.normal(size=(n, H, H, BLK_W)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n, hw, hw, BLK_W)), jnp.float32)
 
     def loss(fn):
         return lambda x_, p_: jnp.sum(fn(x_, p_)[0].astype(jnp.float32) * w)
