@@ -545,7 +545,7 @@ def test_train_step_fused_vs_plain():
         model = TDEED(
             num_classes=NC, clip_len=T, feature_arch="rny002_gsf",
             n_layers=1, sgp_ks=3, sgp_r=2, radi_displacement=1,
-            fuse_entry=fuse, dtype=jnp.float32,
+            fuse_entry=fuse, fuse_shift=fuse, dtype=jnp.float32,
         )
         variables = jax.jit(model.init, static_argnums=2)(
             jax.random.PRNGKey(0), jnp.zeros((B, T, HW, HW, 3), jnp.float32),
