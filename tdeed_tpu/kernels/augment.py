@@ -108,12 +108,8 @@ def _blur1d_reflect(x: jax.Array, taps, axis: int) -> jax.Array:
     return y
 
 
-def _photometric_chain(x, p, out_dtype):
-    """The shared post-blend chain: x (3, H, W) fp32 in [0,1], p(i) scalar
-    accessor. Returns (3, H, W) in out_dtype."""
-    r, g, b = x[0], x[1], x[2]
-
-    # --- hue (gated): rgb->hsv, shift h, hsv->rgb ----------------------
+def _hue_shift(r, g, b, shift):
+    """rgb->hsv, shift h, hsv->rgb (torchvision adjust_hue math)."""
     maxc = jnp.maximum(jnp.maximum(r, g), b)
     minc = jnp.minimum(jnp.minimum(r, g), b)
     delta = maxc - minc
@@ -129,7 +125,7 @@ def _photometric_chain(x, p, out_dtype):
     s = jnp.where(maxc > 0, delta / jnp.where(maxc > 0, maxc, 1.0), 0.0)
     v = maxc
 
-    h = (h + p(1)) % 1.0
+    h = (h + shift) % 1.0
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
     pp = v * (1.0 - s)
@@ -145,13 +141,38 @@ def _photometric_chain(x, p, out_dtype):
             out = jnp.where(i6 == idx, cv, out)
         return out
 
-    hr = sel(v, q, pp, pp, t, v)
-    hg = sel(t, v, v, q, pp, pp)
-    hb = sel(pp, pp, t, v, v, q)
+    return (sel(v, q, pp, pp, t, v),
+            sel(t, v, v, q, pp, pp),
+            sel(pp, pp, t, v, v, q))
+
+
+def _photometric_chain(x, p, out_dtype, gated: bool = False):
+    """The shared post-blend chain: x (3, H, W) fp32 in [0,1], p(i) scalar
+    accessor. Returns (3, H, W) in out_dtype.
+
+    gated: skip the hue round-trip and the blur with lax.cond on the
+    per-clip gate scalars instead of computing them for every frame and
+    selecting. Gates fire at p=.25, so the expected VPU work drops by the
+    cost of ~0.75x(hue+blur); values are bit-identical either way (the
+    taken branch computes the same expressions). Off by default until
+    measured on device (Mosaic's scf.if lowering of lax.cond is the
+    risk, not the math — see tools/probe_pallas_probe.py)."""
+    r, g, b = x[0], x[1], x[2]
+
+    # --- hue (gated): rgb->hsv, shift h, hsv->rgb ----------------------
     use_hue = p(0) > 0.5
-    r = jnp.where(use_hue, hr, r)
-    g = jnp.where(use_hue, hg, g)
-    b = jnp.where(use_hue, hb, b)
+    if gated:
+        r, g, b = jax.lax.cond(
+            use_hue,
+            lambda rgb: _hue_shift(*rgb, p(1)),
+            lambda rgb: rgb,
+            (r, g, b),
+        )
+    else:
+        hr, hg, hb = _hue_shift(r, g, b, p(1))
+        r = jnp.where(use_hue, hr, r)
+        g = jnp.where(use_hue, hg, g)
+        b = jnp.where(use_hue, hb, b)
 
     # --- saturation / brightness / contrast (gated, in XLA-path order) --
     luma_w = (0.299, 0.587, 0.114)
@@ -183,9 +204,17 @@ def _photometric_chain(x, p, out_dtype):
     def blur(c):
         return _blur1d_reflect(_blur1d_reflect(c, taps, 0), taps, 1)
 
-    r = jnp.where(use_blur, blur(r), r)
-    g = jnp.where(use_blur, blur(g), g)
-    b = jnp.where(use_blur, blur(b), b)
+    if gated:
+        r, g, b = jax.lax.cond(
+            use_blur,
+            lambda rgb: (blur(rgb[0]), blur(rgb[1]), blur(rgb[2])),
+            lambda rgb: rgb,
+            (r, g, b),
+        )
+    else:
+        r = jnp.where(use_blur, blur(r), r)
+        g = jnp.where(use_blur, blur(g), g)
+        b = jnp.where(use_blur, blur(b), b)
 
     # --- ImageNet standardize ------------------------------------------
     mean = (0.485, 0.456, 0.406)  # == augment.IMAGENET_MEAN
@@ -208,7 +237,7 @@ def _to_f32(ref):
     return x.astype(jnp.float32)
 
 
-def _kernel(p_ref, x_ref, out_ref):
+def _kernel(p_ref, x_ref, out_ref, *, gated: bool = False):
     # x_ref: (1, 1, 3, H, W) uint8 (or float 0..255);
     # p_ref: (B, N_PARAMS) SMEM fp32 (full array — SMEM blocks must cover
     # whole dims), row selected by program id.
@@ -238,21 +267,22 @@ def _kernel(p_ref, x_ref, out_ref):
         x.reshape(c * h, w), perm, preferred_element_type=jnp.float32
     ).reshape(c, h, w)
 
-    out_ref[0, 0] = _photometric_chain(x, p, out_ref.dtype)
+    out_ref[0, 0] = _photometric_chain(x, p, out_ref.dtype, gated=gated)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "gated"))
 def photometric_planar(
     frames_planar: jax.Array,  # (B, T, 3, H, W) uint8/float 0..255 (cropped, flipped)
     params: jax.Array,         # (B, N_PARAMS) fp32 from sample_params
     *,
     interpret: bool = False,
+    gated: bool = False,
 ) -> jax.Array:
     """Fused /255 + photometric + standardize. Returns (B, T, 3, H, W) bf16."""
     bsz, t, c, h, w = frames_planar.shape
     assert c == 3
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, gated=gated),
         grid=(bsz, t),
         in_specs=[
             pl.BlockSpec(
@@ -275,6 +305,7 @@ def photometric_planar(
 def train_preprocess_pallas(
     frames: jax.Array, key: jax.Array, crop_dim, *, interpret: bool = False
 ) -> jax.Array:
+    import os  # PHOTO_GATED: lax.cond-skip the per-clip-gated ops (A/B knob)
     """Drop-in replacement for augment.train_preprocess using the fused
     kernel. frames: (B, T, H, W, 3) float-or-uint8 0..255. Returns
     standardized bf16 (B, T, crop, crop, 3)."""
@@ -294,5 +325,8 @@ def train_preprocess_pallas(
     # old standalone XLA reverse+select cost ~2.9 ms/step, trace-measured)
     flip = (jax.random.uniform(kf, (bsz,)) < 0.5).astype(jnp.float32)
     params = params.at[:, 14].set(flip)
-    out = photometric_planar(planar, params, interpret=interpret)
+    out = photometric_planar(
+        planar, params, interpret=interpret,
+        gated=os.environ.get("PHOTO_GATED", "") == "1",
+    )
     return jnp.transpose(out, (0, 1, 3, 4, 2))  # (B, T, H, W, 3) bf16

@@ -76,6 +76,36 @@ def test_kernel_matches_xla_chain(rng, gates):
     np.testing.assert_allclose(got_nhwc, want, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("gates", ["all_on", "all_off", "mixed"])
+def test_gated_chain_bit_identical(rng, gates):
+    """gated=True (lax.cond skips) must produce BIT-identical output to the
+    branchless select chain for every gate combination."""
+    B, T, H, W = 2, 3, 16, 16
+    frames = rng.integers(0, 256, (B, T, H, W, 3)).astype(np.uint8)
+    params = np.zeros((B, N_PARAMS), np.float32)
+    params[:, 1] = [0.1, -0.15]
+    params[:, 3] = [0.8, 1.1]
+    params[:, 5] = [1.15, 0.75]
+    params[:, 7] = [0.9, 1.2]
+    sigma = np.array([0.8, 1.5], np.float32)
+    offs = np.arange(-2, 3, dtype=np.float32)
+    taps = np.exp(-0.5 * (offs[None] / sigma[:, None]) ** 2)
+    params[:, 9:14] = taps / taps.sum(1, keepdims=True)
+    if gates == "all_on":
+        params[:, [0, 2, 4, 6, 8]] = 1.0
+    elif gates == "mixed":
+        params[0, [0, 4, 8]] = 1.0
+        params[1, [2, 6]] = 1.0
+    params[0, 14] = 1.0  # hflip one clip too
+
+    planar = jnp.transpose(jnp.asarray(frames), (0, 1, 4, 2, 3))
+    base = photometric_planar(planar, jnp.asarray(params), interpret=True)
+    gated = photometric_planar(
+        planar, jnp.asarray(params), interpret=True, gated=True
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(gated))
+
+
 def test_contrast_mean_is_per_frame(rng):
     """The kernel computes the contrast blend mean per FRAME; the XLA path
     does too (mean over (-3,-2) of each frame)."""
