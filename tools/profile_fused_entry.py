@@ -64,6 +64,7 @@ def main():
     # (name, fuse_entry, fuse_shift, FUSE_PALLAS env)
     variants = [
         ("plain", False, False, None),
+        ("photo-gated", False, False, None),
         ("fused-jnp", True, False, "0"),
         ("fused-pallas", True, False, "1"),
         ("shift-pallas", False, True, "1"),
@@ -74,6 +75,10 @@ def main():
             os.environ.pop("FUSE_PALLAS", None)
         else:
             os.environ["FUSE_PALLAS"] = pallas_env
+        if name == "photo-gated":
+            os.environ["PHOTO_GATED"] = "1"
+        else:
+            os.environ.pop("PHOTO_GATED", None)
         model = build_model(
             dataclasses.replace(cfg, fuse_entry=fuse, fuse_shift=fuse_shift)
         )
@@ -97,7 +102,8 @@ def main():
               f"{B*T/sec:9.0f} frames/s  loss@20={last_loss:.4f}", flush=True)
 
     if "plain" in results:
-        for name in ("fused-jnp", "fused-pallas", "shift-pallas", "all-pallas"):
+        for name in ("photo-gated", "fused-jnp", "fused-pallas",
+                     "shift-pallas", "all-pallas"):
             if name in results:
                 d = (results["plain"] - results[name]) * 1e3
                 print(f"delta[{name}]: {d:+.2f} ms "
