@@ -28,6 +28,7 @@ static edge-row concats.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -305,10 +306,11 @@ def photometric_planar(
 def train_preprocess_pallas(
     frames: jax.Array, key: jax.Array, crop_dim, *, interpret: bool = False
 ) -> jax.Array:
-    import os  # PHOTO_GATED: lax.cond-skip the per-clip-gated ops (A/B knob)
     """Drop-in replacement for augment.train_preprocess using the fused
     kernel. frames: (B, T, H, W, 3) float-or-uint8 0..255. Returns
-    standardized bf16 (B, T, crop, crop, 3)."""
+    standardized bf16 (B, T, crop, crop, 3). Env PHOTO_GATED=1 selects the
+    lax.cond-gated chain (read at trace time — build a fresh jit per
+    setting, as the A/B tool does)."""
     from tdeed_tpu.train.augment import random_crop_batch
 
     bsz = frames.shape[0]

@@ -212,6 +212,24 @@ def _snap_bf16(x):
     return jax.lax.bitcast_convert_type(r, jnp.float32)
 
 
+def _dv1_chain(v, g_row, okc, a1f, k1, k0, snap, per_op, cdt):
+    """In-kernel dv1 = dz1*a1 + (v*k1 + k0) with backend-matched rounding.
+
+    The single source for all three P2 kernels (entry/shift/conv1-unit):
+    rounding='single' mirrors XLA:TPU, whose bf16 propagation keeps whole
+    elementwise chains in f32 and rounds ONCE at each materialization
+    (measured: tools/probe_fused_miscompile.py semantics() — 0/1M mismatch
+    vs single-round, 277k/1M vs per-op); 'per-op' mirrors XLA:CPU / eager,
+    the mode the CPU-oracle tests compare against. Returns (dv1, dzf)."""
+    f32 = jnp.float32
+    dzf = jnp.where(okc, g_row, jnp.zeros((), cdt)).astype(f32)
+    if per_op:
+        dv1f = snap(snap(dzf * a1f) + snap(v.astype(f32) * k1 + k0))
+    else:
+        dv1f = snap(dzf * a1f + (v.astype(f32) * k1 + k0))
+    return jnp.where(okc, dv1f, jnp.zeros((), f32)).astype(cdt), dzf
+
+
 # ---------------------------------------------------------------------------
 # Pallas P2: the single-pass heavy backward
 # ---------------------------------------------------------------------------
@@ -313,19 +331,9 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
             v = v_ref[0, i]   # (C, nb) bf16
             # g_ref holds dz1 = relu'(z1) * g1, masked by P1 in XLA (see
             # module docstring); only the lane-validity mask applies here.
-            # rounding='single' mirrors XLA:TPU, whose bf16 propagation
-            # keeps whole elementwise chains in f32 and rounds ONCE at
-            # each materialization (measured:
-            # tools/probe_fused_miscompile.py semantics() — 0/1M mismatch
-            # vs single-round, 277k/1M vs per-op). rounding='per-op'
-            # mirrors XLA:CPU / eager, which round at every bf16 op — the
-            # mode the CPU-oracle tests compare against.
-            dzf = jnp.where(okc, g_ref[0, i], zb).astype(f32)
-            if per_op:
-                dv1f = snap(snap(dzf * a1f) + snap(v.astype(f32) * k1 + k0))
-            else:
-                dv1f = snap(dzf * a1f + (v.astype(f32) * k1 + k0))
-            dv1 = jnp.where(okc, dv1f, zf).astype(cdt)
+            dv1, dzf = _dv1_chain(
+                v, g_ref[0, i], okc, a1f, k1, k0, snap, per_op, cdt
+            )
             if with_stem:
                 vs = x_ref[0, i]  # (Cin, nb) stem conv out
                 # presf: the relu/mask operand exactly as the backend's
@@ -348,9 +356,14 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
 
             # downsample (1x1 stride-2): contributes at even (h, w) only.
             # The dot always runs (measured free behind the DMA stream); the
-            # result is gated to zero elsewhere.
-            dvd_i = jnp.where(okc, dvd_ref[0, i // 2], zb)
-            gate = jnp.where(h_even & (i % 2 == 0), jnp.float32(1), jnp.float32(0))
+            # result is gated to zero elsewhere. Parity and the dvd column
+            # are in GLOBAL w (j*wb + i): with odd wb (W = 2 mod 4, e.g.
+            # 14^2 rows) the j=1 half starts on an odd column, so local-i
+            # parity would be phase-inverted there — the dvd block is the
+            # full row for the same reason.
+            gw = j * wb + i
+            dvd_i = jnp.where(okc, dvd_ref[0, gw // 2], zb)
+            gate = jnp.where(h_even & (gw % 2 == 0), jnp.float32(1), jnp.float32(0))
             dotd = gate * jax.lax.dot(wdv, dvd_i, preferred_element_type=f32)
             dx_i = dot1 + dotd
             dwd_acc = dwd_acc + gate * jax.lax.dot_general(
@@ -407,8 +420,10 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
     big = lambda cdim: pl.BlockSpec(
         (1, wb, cdim, nb), lambda j, nbi, h: (h, j, 0, nbi)
     )
+    # full dvd row (it is half-width already): a per-j half would need a
+    # ragged split when wb is odd (W = 2 mod 4)
     dvd_spec = pl.BlockSpec(
-        (1, wb // 2, C, nb), lambda j, nbi, h: (h // 2, j, 0, nbi)
+        (1, W_ // 2, C, nb), lambda j, nbi, h: (h // 2, 0, 0, nbi)
     )
     in_specs = [const((2, C, 1)), const((2, C, 1))]
     args = [ab1, kk]
@@ -530,15 +545,9 @@ def _p2_shift_pallas_call(v1t, dz1t, xst, xdt, dvdt, ab1, kk, w1, wd,
         def body(i, carry):
             dw1_acc, dwd_acc = carry
             v = v_ref[0, i]
-            # dv1 chain: same rounding semantics as the entry kernel (see
-            # _p2_pallas_call — 'single' mirrors XLA:TPU materialization,
-            # 'per-op' mirrors the CPU oracle).
-            dzf = jnp.where(okc, g_ref[0, i], zb).astype(f32)
-            if per_op:
-                dv1f = snap(snap(dzf * a1f) + snap(v.astype(f32) * k1 + k0))
-            else:
-                dv1f = snap(dzf * a1f + (v.astype(f32) * k1 + k0))
-            dv1 = jnp.where(okc, dv1f, zf).astype(cdt)
+            dv1, _ = _dv1_chain(
+                v, g_ref[0, i], okc, a1f, k1, k0, snap, per_op, cdt
+            )
             xs_i = jnp.where(okcin, xs_ref[0, i], zb)
 
             dxs_ref[0, i] = snap(
@@ -550,9 +559,11 @@ def _p2_shift_pallas_call(v1t, dz1t, xst, xdt, dvdt, ab1, kk, w1, wd,
 
             # downsample path: contributes at even (h, w) only; xd_ref holds
             # the even-h row for this h pair (BlockSpec h//2*2), gated to
-            # zero on the odd row / odd columns.
-            dvd_i = jnp.where(okc, dvd_ref[0, i // 2], zb)
-            gate = jnp.where(h_even & (i % 2 == 0), jnp.float32(1), jnp.float32(0))
+            # zero on the odd row / odd columns. Parity and the dvd column
+            # use GLOBAL w (j*wb + i) — see _p2_pallas_call (odd-wb rows).
+            gw = j * wb + i
+            dvd_i = jnp.where(okc, dvd_ref[0, gw // 2], zb)
+            gate = jnp.where(h_even & (gw % 2 == 0), jnp.float32(1), jnp.float32(0))
             dotd = gate * jax.lax.dot(wdv, dvd_i, preferred_element_type=f32)
             dxd_ref[0, i] = snap(dotd).astype(cdt)
             xd_i = jnp.where(okcin, xd_ref[0, i], zb)
@@ -573,8 +584,9 @@ def _p2_shift_pallas_call(v1t, dz1t, xst, xdt, dvdt, ab1, kk, w1, wd,
     xd_spec = pl.BlockSpec(
         (1, wb, Cin, nb), lambda j, nbi, h: (h // 2 * 2, j, 0, nbi)
     )
+    # full dvd row: a per-j half would need a ragged split when wb is odd
     dvd_spec = pl.BlockSpec(
-        (1, wb // 2, C, nb), lambda j, nbi, h: (h // 2, j, 0, nbi)
+        (1, W_ // 2, C, nb), lambda j, nbi, h: (h // 2, 0, 0, nbi)
     )
     return pl.pallas_call(
         kernel,
@@ -661,12 +673,9 @@ def _p2_conv1_pallas_call(v1t, dz1t, xt, ab1, kk, w1,
 
         def body(i, dw1_acc):
             v = v_ref[0, i]
-            dzf = jnp.where(okc, g_ref[0, i], zb).astype(f32)
-            if per_op:
-                dv1f = snap(snap(dzf * a1f) + snap(v.astype(f32) * k1 + k0))
-            else:
-                dv1f = snap(dzf * a1f + (v.astype(f32) * k1 + k0))
-            dv1 = jnp.where(okc, dv1f, zf).astype(cdt)
+            dv1, _ = _dv1_chain(
+                v, g_ref[0, i], okc, a1f, k1, k0, snap, per_op, cdt
+            )
             x_i = jnp.where(okcin, x_ref[0, i], zb)
             dx_ref[0, i] = snap(
                 jax.lax.dot(w1v, dv1, preferred_element_type=f32)

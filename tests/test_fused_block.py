@@ -346,16 +346,19 @@ def test_shift_block_fused_vs_plain(dtype):
     )
 
 
+@pytest.mark.parametrize("hw", [H, 14])  # 14: wb odd (W = 2 mod 4), s4_b1's
+# geometry at 224^2 crops — regression for the global-column parity of the
+# downsample gate and the full-row dvd block
 @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
-def test_shift_unit_pallas_matches_jnp(dtype):
+def test_shift_unit_pallas_matches_jnp(dtype, hw):
     """make_fused_shift_block Pallas P2 (interpret) vs the jnp formulation:
     gradients w.r.t. xs, x, and every parameter."""
     from tdeed_tpu.kernels.fused_block import make_fused_shift_block
 
     n = 8
     rng = np.random.default_rng(13)
-    xs = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), dtype or jnp.float32)
-    x = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), dtype or jnp.float32)
+    xs = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), dtype or jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), dtype or jnp.float32)
     donor = YBlock(
         width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
         dtype=dtype,
@@ -366,7 +369,7 @@ def test_shift_unit_pallas_matches_jnp(dtype):
     groups = BLK_W // GROUP_SIZE
     ref_fn = make_fused_shift_block(groups=groups)
     pls_fn = make_fused_shift_block(groups=groups, use_pallas=True, interpret=True)
-    w = jnp.asarray(rng.normal(size=(n, H // 2, H // 2, BLK_W)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n, hw // 2, hw // 2, BLK_W)), jnp.float32)
 
     def loss(fn):
         return lambda xs_, x_, p_: jnp.sum(
@@ -592,6 +595,37 @@ def test_train_step_fused_vs_plain():
         np.testing.assert_allclose(
             flat_bf[path], leaf, atol=1e-3, rtol=2e-2,
             err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_entry_unit_pallas_odd_wb():
+    """Entry-unit Pallas P2 at a W = 2 mod 4 geometry (wb odd): the
+    downsample gate parity / dvd coverage regression, without a stem."""
+    hw, n = 14, 8
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), jnp.float32)
+    model = PlainStemBlock(dtype=None, with_stem=False)
+    params = model.init(jax.random.PRNGKey(2), x, False)["params"]
+    p = {"blk": params["blk"]}
+    grads = {}
+    w = jnp.asarray(rng.normal(size=(n, hw // 2, hw // 2, BLK_W)), jnp.float32)
+    for up in (False, True):
+        fn = make_fused_block(
+            groups=BLK_W // GROUP_SIZE, with_stem=False,
+            use_pallas=up, interpret=up,
+        )
+
+        def loss(pp, xx, fn=fn):
+            out, _ = fn(xx, pp)
+            return jnp.sum(out.astype(jnp.float32) * w)
+
+        grads[up] = jax.grad(loss, argnums=(0, 1))(p, x)
+    flat_j = jax.tree_util.tree_flatten_with_path(grads[False])[0]
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(grads[True])[0])
+    for path, leaf in flat_j:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[path], np.float32), np.asarray(leaf, np.float32),
+            rtol=2e-5, atol=1e-5, err_msg=jax.tree_util.keystr(path),
         )
 
 

@@ -166,12 +166,11 @@ def main():
         width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
         dtype=jnp.bfloat16,
     )
-    sp = {"blk": {
-        k: jax.jit(donor.init, static_argnums=(2,))(
-            jax.random.PRNGKey(4), xd, False
-        )["params"][k]
-        for k in ("conv1", "conv2", "se", "conv3", "downsample")
-    }}
+    donor_params = jax.jit(donor.init, static_argnums=(2,))(
+        jax.random.PRNGKey(4), xd, False
+    )["params"]
+    sp = {"blk": {k: donor_params[k]
+                  for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
     ws = jnp.asarray(rng.standard_normal((24, 16, 16, BLK_W)), jnp.float32)
     sgrads = {}
     for up in (False, True):

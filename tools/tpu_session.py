@@ -27,6 +27,13 @@ def main() -> None:
         parity.main()
     except SystemExit as e:
         parity_rc = int(e.code or 0)
+    except Exception as e:  # e.g. a Mosaic compile failure of a new kernel
+        # — the A/B must still run; the claim is too expensive to waste.
+        import traceback
+
+        traceback.print_exc()
+        print(f"parity suite CRASHED: {type(e).__name__}", flush=True)
+        parity_rc = 1
 
     print("=== fused-entry A/B ===", flush=True)
     ab.main()
