@@ -160,34 +160,39 @@ def main():
     from tdeed_tpu.kernels.fused_block import make_fused_shift_block
     from tdeed_tpu.models.regnet import YBlock
 
-    xs = jnp.asarray(rng.standard_normal((24, 32, 32, STEM_W)), jnp.bfloat16)
-    xd = jnp.asarray(rng.standard_normal((24, 32, 32, STEM_W)), jnp.bfloat16)
-    donor = YBlock(
-        width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
-        dtype=jnp.bfloat16,
-    )
-    donor_params = jax.jit(donor.init, static_argnums=(2,))(
-        jax.random.PRNGKey(4), xd, False
-    )["params"]
-    sp = {"blk": {k: donor_params[k]
-                  for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
-    ws = jnp.asarray(rng.standard_normal((24, 16, 16, BLK_W)), jnp.float32)
-    sgrads = {}
-    for up in (False, True):
-        fn = make_fused_shift_block(groups=BLK_W // GROUP_SIZE, use_pallas=up)
-
-        def loss(pp, a, b, fn=fn):
-            out, _ = fn(a, b, pp)
-            return jnp.sum(out.astype(jnp.float32) * ws)
-
-        sgrads[up] = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(sp, xs, xd)
-    flat_j = jax.tree_util.tree_flatten_with_path(sgrads[False])[0]
-    flat_p = dict(jax.tree_util.tree_flatten_with_path(sgrads[True])[0])
-    for path, leaf in flat_j:
-        check(
-            f"fused_shift grad{jax.tree_util.keystr(path)}",
-            flat_p[path], leaf, 2e-2, 2e-2,
+    # hw=14 covers the odd-wb (W = 2 mod 4) downsample gating — s4_b1's
+    # row geometry at 224^2 crops
+    for hw in (32, 14):
+        xs = jnp.asarray(rng.standard_normal((24, hw, hw, STEM_W)), jnp.bfloat16)
+        xd = jnp.asarray(rng.standard_normal((24, hw, hw, STEM_W)), jnp.bfloat16)
+        donor = YBlock(
+            width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
+            dtype=jnp.bfloat16,
         )
+        donor_params = jax.jit(donor.init, static_argnums=(2,))(
+            jax.random.PRNGKey(4), xd, False
+        )["params"]
+        sp = {"blk": {k: donor_params[k]
+                      for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
+        ws = jnp.asarray(
+            rng.standard_normal((24, hw // 2, hw // 2, BLK_W)), jnp.float32
+        )
+        sgrads = {}
+        for up in (False, True):
+            fn = make_fused_shift_block(groups=BLK_W // GROUP_SIZE, use_pallas=up)
+
+            def loss(pp, a, b, fn=fn, ws=ws):
+                out, _ = fn(a, b, pp)
+                return jnp.sum(out.astype(jnp.float32) * ws)
+
+            sgrads[up] = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(sp, xs, xd)
+        flat_j = jax.tree_util.tree_flatten_with_path(sgrads[False])[0]
+        flat_p = dict(jax.tree_util.tree_flatten_with_path(sgrads[True])[0])
+        for path, leaf in flat_j:
+            check(
+                f"fused_shift hw={hw} grad{jax.tree_util.keystr(path)}",
+                flat_p[path], leaf, 2e-2, 2e-2,
+            )
 
     # --- fused conv1 unit (stride-1 blocks): Pallas P2 vs jnp -----------
     from tdeed_tpu.kernels.fused_block import make_fused_conv_bn_relu
