@@ -598,6 +598,40 @@ def test_train_step_fused_vs_plain():
         )
 
 
+def test_shift_unit_pallas_ragged_n_tail():
+    """N > 256 with a ragged last n-block (production N = B*T = 800 is
+    3x256+32): the okc/okcin lane masks must zero the tail lanes."""
+    from tdeed_tpu.kernels.fused_block import make_fused_shift_block
+
+    n, hw = 260, 8  # 2 n-steps, tail of 4
+    rng = np.random.default_rng(31)
+    xs = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), jnp.float32)
+    donor = YBlock(
+        width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
+    )
+    params = donor.init(jax.random.PRNGKey(3), np.asarray(x), False)["params"]
+    p = {"blk": {k: params[k]
+                 for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
+    groups = BLK_W // GROUP_SIZE
+    w = jnp.asarray(rng.normal(size=(n, hw // 2, hw // 2, BLK_W)), jnp.float32)
+    grads = {}
+    for up in (False, True):
+        fn = make_fused_shift_block(groups=groups, use_pallas=up, interpret=up)
+
+        def loss(xs_, x_, p_, fn=fn):
+            return jnp.sum(fn(xs_, x_, p_)[0].astype(jnp.float32) * w)
+
+        grads[up] = jax.grad(loss, argnums=(0, 1, 2))(xs, x, p)
+    flat_j = jax.tree_util.tree_flatten_with_path(grads[False])[0]
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(grads[True])[0])
+    for path, leaf in flat_j:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[path], np.float32), np.asarray(leaf, np.float32),
+            rtol=2e-5, atol=1e-5, err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_entry_unit_pallas_odd_wb():
     """Entry-unit Pallas P2 at a W = 2 mod 4 geometry (wb odd): the
     downsample gate parity / dvd coverage regression, without a stem."""
