@@ -346,11 +346,14 @@ def test_shift_block_fused_vs_plain(dtype):
     )
 
 
-@pytest.mark.parametrize("hw", [H, 14])  # 14: wb odd (W = 2 mod 4), s4_b1's
-# geometry at 224^2 crops — regression for the global-column parity of the
-# downsample gate and the full-row dvd block
+@pytest.mark.parametrize("hw,width", [
+    (H, BLK_W),
+    (14, BLK_W),  # wb odd (W = 2 mod 4): s4_b1's rows at 224^2 crops —
+    # regression for the global-column downsample gate / full-row dvd block
+    (H, 16),      # Cin != C (production s3_b1 is 56 -> 152)
+])
 @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
-def test_shift_unit_pallas_matches_jnp(dtype, hw):
+def test_shift_unit_pallas_matches_jnp(dtype, hw, width):
     """make_fused_shift_block Pallas P2 (interpret) vs the jnp formulation:
     gradients w.r.t. xs, x, and every parameter."""
     from tdeed_tpu.kernels.fused_block import make_fused_shift_block
@@ -360,16 +363,16 @@ def test_shift_unit_pallas_matches_jnp(dtype, hw):
     xs = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), dtype or jnp.float32)
     x = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), dtype or jnp.float32)
     donor = YBlock(
-        width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
+        width=width, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
         dtype=dtype,
     )
     params = donor.init(jax.random.PRNGKey(3), np.asarray(x), False)["params"]
     p = {"blk": {k: params[k]
                  for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
-    groups = BLK_W // GROUP_SIZE
+    groups = width // GROUP_SIZE
     ref_fn = make_fused_shift_block(groups=groups)
     pls_fn = make_fused_shift_block(groups=groups, use_pallas=True, interpret=True)
-    w = jnp.asarray(rng.normal(size=(n, hw // 2, hw // 2, BLK_W)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n, hw // 2, hw // 2, width)), jnp.float32)
 
     def loss(fn):
         return lambda xs_, x_, p_: jnp.sum(
