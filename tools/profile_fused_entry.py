@@ -108,6 +108,7 @@ def main():
                 d = (results["plain"] - results[name]) * 1e3
                 print(f"delta[{name}]: {d:+.2f} ms "
                       f"({100*d/(results['plain']*1e3):+.1f}%)", flush=True)
+    return results
 
 
 if __name__ == "__main__":

@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    import json
+
     import tools.check_tpu_parity as parity
     import tools.profile_fused_entry as ab
 
@@ -36,7 +38,26 @@ def main() -> None:
         parity_rc = 1
 
     print("=== fused-entry A/B ===", flush=True)
-    ab.main()
+    results = ab.main() or {}
+    with open("/tmp/tpu_ab_results.json", "w") as fp:
+        json.dump({k: v * 1e3 for k, v in results.items()}, fp)
+
+    # Same claim: per-op trace of the all-pallas variant for next-rock
+    # attribution (tools/trace_attrib.py joins it offline with the HLO
+    # op_name metadata — no second claim needed).
+    print("=== all-pallas device trace ===", flush=True)
+    try:
+        os.environ["FUSE_ENTRY"] = "1"
+        os.environ["FUSE_SHIFT"] = "1"
+        os.environ["FUSE_PALLAS"] = "1"
+        import tools.profile_trace as trace
+
+        trace.main(["--steps", "3", "--logdir", "/tmp/jax_trace_fused"])
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        print(f"trace capture CRASHED: {type(e).__name__}", flush=True)
 
     sys.exit(parity_rc)
 
