@@ -69,13 +69,15 @@ def main():
         ("fused-pallas", True, False, "1"),
         ("shift-pallas", False, True, "1"),
         ("all-pallas", True, True, "1"),
+        # the production candidate if the individual levers both win
+        ("all-pallas+photo", True, True, "1"),
     ]
     for name, fuse, fuse_shift, pallas_env in variants:
         if pallas_env is None:
             os.environ.pop("FUSE_PALLAS", None)
         else:
             os.environ["FUSE_PALLAS"] = pallas_env
-        if name == "photo-gated":
+        if name.endswith("photo-gated") or name.endswith("+photo"):
             os.environ["PHOTO_GATED"] = "1"
         else:
             os.environ.pop("PHOTO_GATED", None)
@@ -103,7 +105,7 @@ def main():
 
     if "plain" in results:
         for name in ("photo-gated", "fused-jnp", "fused-pallas",
-                     "shift-pallas", "all-pallas"):
+                     "shift-pallas", "all-pallas", "all-pallas+photo"):
             if name in results:
                 d = (results["plain"] - results[name]) * 1e3
                 print(f"delta[{name}]: {d:+.2f} ms "
