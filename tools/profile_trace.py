@@ -76,10 +76,18 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--logdir", default="/tmp/jax_trace_r3")
+    p.add_argument("--dump-hlo", default=None,
+                   help="also write the compiled step's HLO text here "
+                        "(trace_attrib.py joins it with the trace offline)")
     args = p.parse_args(argv)
 
     step, state, batches = build()
     k = jax.random.PRNGKey(1)
+    if args.dump_hlo:
+        txt = step.lower(state, batches[0], k).compile().as_text()
+        with open(args.dump_hlo, "w") as fp:
+            fp.write(txt)
+        print(f"HLO dumped to {args.dump_hlo} ({len(txt)} bytes)", flush=True)
     state, m = step(state, batches[0], k)
     state, m = step(state, batches[1], k)
     jax.block_until_ready(m["loss"])

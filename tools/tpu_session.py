@@ -52,7 +52,8 @@ def main() -> None:
         os.environ["FUSE_PALLAS"] = "1"
         import tools.profile_trace as trace
 
-        trace.main(["--steps", "3", "--logdir", "/tmp/jax_trace_fused"])
+        trace.main(["--steps", "3", "--logdir", "/tmp/jax_trace_fused",
+                    "--dump-hlo", "/tmp/step_hlo_fused.txt"])
     except Exception as e:
         import traceback
 
