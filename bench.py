@@ -26,6 +26,7 @@ dedups bit-identical dispatches; varied inputs keep the number honest).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -56,17 +57,26 @@ def main() -> None:
     from tdeed_tpu.train.step import make_train_step
 
     n_chips = jax.local_device_count()
-    cfg = TDEEDConfig(
-        dataset="finediving",
-        num_classes=4,
-        clip_len=CLIP_LEN,
-        crop_dim=CROP,
-        feature_arch="rny002_gsf",
-        n_layers=2,
-        sgp_ks=7,
-        sgp_r=4,
-        radi_displacement=2,
-    )
+
+    def make_cfg(fused: bool) -> TDEEDConfig:
+        # fused custom-VJP backbone paths (kernels/fused_block.py), env-
+        # overridable for A/B; the first-step try/except below falls back
+        # to the plain graph if a kernel fails on this toolchain.
+        return TDEEDConfig(
+            dataset="finediving",
+            num_classes=4,
+            clip_len=CLIP_LEN,
+            crop_dim=CROP,
+            feature_arch="rny002_gsf",
+            n_layers=2,
+            sgp_ks=7,
+            sgp_r=4,
+            radi_displacement=2,
+            fuse_entry=fused and os.environ.get("FUSE_ENTRY", "0") == "1",
+            fuse_shift=fused and os.environ.get("FUSE_SHIFT", "0") == "1",
+        )
+
+    cfg = make_cfg(fused=True)
     model = build_model(cfg)
 
     rng = jax.random.PRNGKey(0)
@@ -75,10 +85,10 @@ def main() -> None:
     tx = make_optimizer(8e-4, warmup_steps=100, cosine_steps=10_000)
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
 
-    def build_step(pallas_augment):
+    def build_step(mdl, pallas_augment):
         return jax.jit(
             make_train_step(
-                model,
+                mdl,
                 tx,
                 crop_dim=CROP,
                 num_classes_bg=cfg.num_classes_bg,
@@ -90,7 +100,7 @@ def main() -> None:
             donate_argnums=(0,),
         )
 
-    train_step = build_step(None)  # auto: fused Pallas augment on TPU
+    train_step = build_step(model, None)  # auto: fused Pallas augment on TPU
 
     b = BATCH_PER_CHIP * n_chips
     r = np.random.default_rng(0)
@@ -123,11 +133,11 @@ def main() -> None:
         import sys
 
         print(f"pallas path failed ({type(e).__name__}); falling back to "
-              f"the XLA augmentation chain", file=sys.stderr)
+              f"the plain XLA graph", file=sys.stderr)
         state = TrainState.create(
             variables["params"], variables["batch_stats"], tx
         )
-        train_step = build_step(False)
+        train_step = build_step(build_model(make_cfg(fused=False)), False)
     for i in range(WARMUP_STEPS):
         state, metrics = train_step(state, batches[i % NUM_BATCHES], step_rng)
     jax.block_until_ready(metrics["loss"])
