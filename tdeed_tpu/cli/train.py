@@ -301,12 +301,28 @@ def main(argv=None) -> None:
             )
         else:
             p, bs = state.params, state.batch_stats
+            if mesh is not None:
+                # Single host, >1 local device: run the eval forward
+                # batch-parallel over the same mesh training uses (window
+                # batches are padded to eval_batch_size, a mesh multiple).
+                from tdeed_tpu.parallel.mesh import make_sharded_predict
+
+                return make_sharded_predict(predict_step, mesh, p, bs)
 
         def fn(frames, hflip=False):
             _, probs = predict_step(p, bs, frames, hflip)
             return probs
 
         return fn
+
+    # Window-batch size for eval: a mesh multiple when the eval forward is
+    # sharded (see eval_predict_fn), else None = the protocol defaults.
+    if mesh is not None and not multihost:
+        from tdeed_tpu.infer.evaluate import INFERENCE_BATCH_SIZE
+
+        eval_batch_size = -(-INFERENCE_BATCH_SIZE // mesh.size) * mesh.size
+    else:
+        eval_batch_size = None
 
     # --- data loaders ---------------------------------------------------
     # Each host materializes its row-slice of the SAME global epoch plan
@@ -457,7 +473,8 @@ def main(argv=None) -> None:
                     from tdeed_tpu.metrics.soccernet import val_map_sn
 
                     val_map = val_map_sn(
-                        pfn, cfg, args.data_root, labels_root
+                        pfn, cfg, args.data_root, labels_root,
+                        batch_size=eval_batch_size,
                     )
                 else:
                     val_map = evaluate(
@@ -469,6 +486,7 @@ def main(argv=None) -> None:
                         test=False,
                         augment=False,
                         labels_root=labels_root,
+                        batch_size=eval_batch_size,
                     )
                 is_best = val_map > best
                 if is_best:
@@ -538,9 +556,15 @@ def main(argv=None) -> None:
         rp = jax.device_put(restored["params"])
         rbs = jax.device_put(restored["batch_stats"])
 
-        def test_predict_fn(frames, hflip=False):
-            _, probs = predict_step(rp, rbs, frames, hflip)
-            return probs
+        if mesh is not None and not multihost:
+            from tdeed_tpu.parallel.mesh import make_sharded_predict
+
+            test_predict_fn = make_sharded_predict(predict_step, mesh, rp, rbs)
+        else:
+
+            def test_predict_fn(frames, hflip=False):
+                _, probs = predict_step(rp, rbs, frames, hflip)
+                return probs
     else:
         # No epoch ever improved the criterion (e.g. num_epochs <
         # start_val_epoch): evaluate the final state instead.
@@ -571,6 +595,7 @@ def main(argv=None) -> None:
             test=True,
             augment=spec.hflip_tta,
             labels_root=labels_root,
+            batch_size=eval_batch_size,
         )
         if maps is not None:
             logger.log_test(split, maps, tols)

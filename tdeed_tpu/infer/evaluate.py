@@ -263,14 +263,22 @@ def evaluate(
     test: bool = False,
     augment: bool = False,
     labels_root: Optional[str] = None,
+    batch_size: Optional[int] = None,
 ):
     """Full protocol (ref: util/eval.py:264-419). Returns avg mAP (val mode)
-    or (mAPs, tolerances) (test mode)."""
+    or (mAPs, tolerances) (test mode).
+
+    batch_size: window-batch override (e.g. a multiple of a DP mesh size for
+    sharded predict_fns). Default mirrors the reference: 1 under TTA, else
+    INFERENCE_BATCH_SIZE (ref: util/eval.py:32). Results are per-window
+    accumulations, so batching never changes them.
+    """
     spec = get_spec(data.dataset)
     tolerances = list(spec.tolerances)
     windows = list(spec.windows)
 
-    batch_size = 1 if augment else INFERENCE_BATCH_SIZE
+    if batch_size is None:
+        batch_size = 1 if augment else INFERENCE_BATCH_SIZE
     pred_dict = run_inference(predict_fn, data, classes, augment, batch_size)
 
     challenge = split == "CHALLENGE"

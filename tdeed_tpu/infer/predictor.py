@@ -46,7 +46,8 @@ class SpottingPredictor:
 
     def __init__(self, cfg: TDEEDConfig, params, batch_stats,
                  classes: Dict[str, int], two_heads=None,
-                 batch_size: int = INFERENCE_BATCH_SIZE):
+                 batch_size: int = INFERENCE_BATCH_SIZE,
+                 n_devices: Optional[int] = None):
         import jax
 
         from tdeed_tpu.models.tdeed import build_model
@@ -58,12 +59,31 @@ class SpottingPredictor:
         self.spec = get_spec(cfg.dataset)
         self.classes = classes
         self.classes_inv = {v: k for k, v in classes.items()}
+        # n_devices > 1: serve batch-parallel over a local DP mesh — window
+        # batches shard across devices (the heavy forward), weights and
+        # score buffers replicate; per-window results are identical to the
+        # single-device program. Batch size rounds up to a mesh multiple.
+        self._mesh = None
+        if n_devices is not None and n_devices > 1:
+            from tdeed_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(n_devices)
+            batch_size = -(-batch_size // n_devices) * n_devices
         self.batch_size = batch_size
         self.decoder = get_decoder(cfg.decoder)
         # Checkpoint restores land as host numpy trees; upload once so the
         # per-window predict calls don't re-transfer the weights.
-        self._params = jax.device_put(params)
-        self._batch_stats = jax.device_put(batch_stats)
+        if self._mesh is not None:
+            from tdeed_tpu.parallel.mesh import replicated
+
+            rep = replicated(self._mesh)
+            params = jax.device_put(params, rep)
+            batch_stats = jax.device_put(batch_stats, rep)
+            self._params = params
+            self._batch_stats = batch_stats
+        else:
+            self._params = jax.device_put(params)
+            self._batch_stats = jax.device_put(batch_stats)
         model = build_model(cfg, two_heads=two_heads)
         self._predict_raw = make_predict_step(
             model, crop_dim=cfg.crop_dim,
@@ -145,6 +165,14 @@ class SpottingPredictor:
                 )
                 starts = np.concatenate([starts, np.zeros(bs - n, np.int32)])
             valid = (np.arange(bs) < n).astype(np.float32)
+            if self._mesh is not None:
+                # shard the window batch over the serving mesh; the tiny
+                # per-window accumulator updates replicate
+                from tdeed_tpu.parallel.mesh import batch_sharding
+
+                frames = jax.device_put(
+                    frames, batch_sharding(self._mesh)
+                )
             passes = [False, True] if tta else [False]
             for hflip in passes:
                 scores_buf, support_buf = self._acc_step(
@@ -230,7 +258,10 @@ class SpottingPredictor:
 
         t_len = math.ceil(num_frames / stride)
         starts = self._windows(num_frames)
-        bs = 1 if hflip_tta else self.batch_size
+        # TTA mirrors the reference's batch-1 protocol on one device
+        # (ref: util/eval.py:32); on a serving mesh the batch stays a mesh
+        # multiple — batching never changes per-window accumulations.
+        bs = 1 if (hflip_tta and self._mesh is None) else self.batch_size
 
         def batches():
             for ofs in range(0, len(starts), bs):
@@ -262,6 +293,14 @@ class SpottingPredictor:
             }
 
             def predict_fn(frames, hflip):
+                if self._mesh is not None:
+                    import jax
+
+                    from tdeed_tpu.parallel.mesh import batch_sharding
+
+                    frames = jax.device_put(
+                        frames, batch_sharding(self._mesh)
+                    )
                 return self._predict(
                     self._params, self._batch_stats, frames, hflip
                 )[1]

@@ -394,6 +394,7 @@ def val_map_sn(
     cfg,
     data_root: str,
     labels_root: str,
+    batch_size: Optional[int] = None,
 ) -> float:
     """Validation tight a-mAP for SN via sliding-window inference over the
     val split (TPU-native equivalent of the reference's collected-tensor
@@ -432,7 +433,12 @@ def val_map_sn(
         stride=spec.eval_stride,
         labels_root=labels_root,
     )
-    pred_dict = run_inference(predict_fn, data, classes, augment=False)
+    from tdeed_tpu.infer.evaluate import INFERENCE_BATCH_SIZE
+
+    pred_dict = run_inference(
+        predict_fn, data, classes, augment=False,
+        batch_size=batch_size or INFERENCE_BATCH_SIZE,
+    )
 
     framerate = 25 / spec.eval_stride
     idx_for = {}  # class name -> SN_EVENTS index

@@ -67,6 +67,44 @@ def host_replica(tree: Any) -> Any:
     return jax.tree.map(pull, tree)
 
 
+def make_sharded_predict(
+    predict_step,
+    mesh: Mesh,
+    params: Any,
+    batch_stats: Any,
+    axis_name: str = "data",
+):
+    """DP-sharded inference closure over a local mesh.
+
+    Shards each window batch's leading axis over the mesh and replicates
+    params/BN stats once, so the jitted predict forward runs batch-parallel
+    across all local devices (the reference evaluates on its single GPU,
+    ref: util/eval.py:290-349; training here is already DP — this applies
+    the same mesh to the eval/serving forward). Eval-mode rows are
+    independent (BN running stats), so per-sample outputs are identical to
+    the single-device program.
+
+    predict_step(params, stats, frames, hflip) -> (argmax, probs), jitted.
+    The batch size must be divisible by mesh.size (predict_windows pads
+    ragged tails to the static batch size already).
+    """
+    rep = replicated(mesh)
+    p = jax.device_put(params, rep)
+    bs = jax.device_put(batch_stats, rep)
+    sh = batch_sharding(mesh, axis_name)
+
+    def fn(frames, hflip: bool = False):
+        n = np.shape(frames)[0]
+        if n % mesh.size:
+            raise ValueError(
+                f"batch {n} not divisible by the {mesh.size}-device mesh"
+            )
+        _, probs = predict_step(p, bs, jax.device_put(frames, sh), hflip)
+        return probs
+
+    return fn
+
+
 def form_global_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Assemble a globally-sharded batch from per-host local shards.
 

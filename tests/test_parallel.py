@@ -222,3 +222,76 @@ def test_val_step_runs_sharded(setup):
     aux = val(state, shard_batch(b, mesh))
     assert np.isfinite(float(aux["loss"]))
     assert aux["logits"].shape == (B, T, C_BG)
+
+def test_sharded_predict_matches_single_device(setup):
+    """make_sharded_predict: batch-parallel eval forward == local program
+    per sample (eval BN uses running stats, rows are independent)."""
+    from tdeed_tpu.parallel.mesh import make_sharded_predict
+    from tdeed_tpu.train.step import make_predict_step
+
+    model, state, batch, _ = setup
+    predict_step = jax.jit(
+        make_predict_step(model, crop_dim=None, radi_displacement=1),
+        static_argnums=(3,),
+    )
+    mesh = make_mesh(8)
+    sharded = make_sharded_predict(
+        predict_step, mesh, state.params, state.batch_stats
+    )
+    frames = batch["frame"]
+    for hflip in (False, True):
+        _, want = predict_step(
+            state.params, state.batch_stats, frames, hflip
+        )
+        got = sharded(frames, hflip)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7
+        )
+
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded(frames[:3])
+
+
+def test_run_inference_with_sharded_predict(setup, tmp_path):
+    """The eval orchestrator's padded window batches drive the sharded
+    predict_fn end-to-end (batch_size = mesh multiple)."""
+    import os
+
+    from tests.fixtures import make_finediving_fixture
+
+    from tdeed_tpu.infer.evaluate import run_inference
+    from tdeed_tpu.infer.windows import VideoWindows
+    from tdeed_tpu.parallel.mesh import make_sharded_predict
+    from tdeed_tpu.train.step import make_predict_step
+
+    model, state, batch, _ = setup
+    fx = make_finediving_fixture(str(tmp_path), num_videos=1, num_frames=24,
+                                 size=S)
+    classes = {"x": 1, "y": 2}  # MiniModel emits C_BG=3 logits (bg + 2)
+    data = VideoWindows(
+        "finediving",
+        os.path.join(fx["data_root"], "finediving", "test.json"),
+        fx["frame_dir"],
+        T,
+        overlap_len=T * 3 // 4,
+        stride=1,
+    )
+    predict_step = jax.jit(
+        make_predict_step(model, crop_dim=None, radi_displacement=1),
+        static_argnums=(3,),
+    )
+    mesh = make_mesh(8)
+    sharded = make_sharded_predict(
+        predict_step, mesh, state.params, state.batch_stats
+    )
+
+    def plain(frames, hflip=False):
+        return predict_step(state.params, state.batch_stats, frames, hflip)[1]
+
+    got = run_inference(sharded, data, classes, batch_size=8)
+    want = run_inference(plain, data, classes, batch_size=8)
+    for video in want:
+        np.testing.assert_allclose(
+            got[video][0], want[video][0], rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_array_equal(got[video][1], want[video][1])

@@ -142,3 +142,34 @@ def test_device_aggregation_matches_host_path(run_dir):
         for a, b in zip(dev, host):
             assert a["label"] == b["label"] and a["frame"] == b["frame"]
             np.testing.assert_allclose(a["score"], b["score"], rtol=1e-6)
+
+
+def test_spot_sharded_matches_single_device(run_dir):
+    """n_devices=8 serving mesh: window batches shard over the local mesh;
+    events identical to the single-device predictor (both accumulation
+    paths, with and without TTA)."""
+    fx, cfg_root = run_dir
+    pred1 = SpottingPredictor.from_run(
+        "FineDiving_tiny", cfg_root, fx["data_root"], batch_size=4
+    )
+    pred8 = SpottingPredictor.from_run(
+        "FineDiving_tiny", cfg_root, fx["data_root"], batch_size=4,
+        n_devices=8,
+    )
+    assert pred8.batch_size == 8  # rounded up to a mesh multiple
+    with open(os.path.join(fx["data_root"], "finediving", "train.json")) as fp:
+        meta = json.load(fp)[0]
+
+    for kw in (
+        {"hflip_tta": False, "device_aggregate": True},
+        {"hflip_tta": True, "device_aggregate": True},
+        {"hflip_tta": False, "device_aggregate": False},
+    ):
+        a = pred1.spot(fx["frame_dir"], meta["video"], meta["num_frames"],
+                       nms="none", **kw)
+        b = pred8.spot(fx["frame_dir"], meta["video"], meta["num_frames"],
+                       nms="none", **kw)
+        assert len(a) == len(b), kw
+        for ea, eb in zip(a, b):
+            assert ea["label"] == eb["label"] and ea["frame"] == eb["frame"]
+            np.testing.assert_allclose(ea["score"], eb["score"], rtol=1e-5)
