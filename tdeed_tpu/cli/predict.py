@@ -32,6 +32,8 @@ def get_args(argv=None):
     p.add_argument("--out", default=None, help="output events JSON path")
     p.add_argument("--nms", default="snms", choices=["nms", "snms", "none"])
     p.add_argument("--threshold", type=float, default=0.01)
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="serve batch-parallel over this many local devices")
     return p.parse_args(argv)
 
 
@@ -41,7 +43,8 @@ def main(argv=None) -> None:
     from tdeed_tpu.infer.predictor import SpottingPredictor
 
     pred = SpottingPredictor.from_run(
-        args.model, args.config_root, args.data_root
+        args.model, args.config_root, args.data_root,
+        n_devices=args.n_devices,
     )
     frame_dir = args.frame_dir or pred.cfg.frame_dir
 
