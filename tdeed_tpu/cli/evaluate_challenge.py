@@ -19,6 +19,9 @@ def get_args(argv=None):
     parser.add_argument("--config_root", default="configs")
     parser.add_argument("--data_root", default="data")
     parser.add_argument("--split", default="challenge")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="run inference batch-parallel over this many "
+                        "local devices")
     return parser.parse_args(argv)
 
 
@@ -75,9 +78,21 @@ def main(argv=None) -> None:
         static_argnums=(3,),
     )
 
-    def predict_fn(frames, hflip=False):
-        _, probs = predict_step(params, batch_stats, frames, hflip)
-        return probs
+    eval_batch_size = None
+    if args.n_devices and args.n_devices > 1:
+        from tdeed_tpu.infer.evaluate import INFERENCE_BATCH_SIZE
+        from tdeed_tpu.parallel.mesh import make_mesh, make_sharded_predict
+
+        mesh = make_mesh(args.n_devices)
+        predict_fn = make_sharded_predict(
+            predict_step, mesh, params, batch_stats
+        )
+        eval_batch_size = -(-INFERENCE_BATCH_SIZE // mesh.size) * mesh.size
+    else:
+
+        def predict_fn(frames, hflip=False):
+            _, probs = predict_step(params, batch_stats, frames, hflip)
+            return probs
 
     data = VideoWindows(
         cfg.dataset,
@@ -98,6 +113,7 @@ def main(argv=None) -> None:
         test=True,
         augment=False,
         labels_root=labels_root,
+        batch_size=eval_batch_size,
     )
     print("CORRECTLY FINISHED CHALLENGE INFERENCE")
 
