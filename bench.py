@@ -44,7 +44,7 @@ BENCH_STEPS = 10
 NUM_BATCHES = 2  # distinct input batches cycled across steps
 
 
-def main() -> None:
+def main() -> dict:
     from tdeed_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
@@ -181,17 +181,15 @@ def main() -> None:
     jax.block_until_ready(probs)
     infer_fps = pb * CLIP_LEN * infer_iters / (time.perf_counter() - t0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_frames_per_sec_per_chip",
-                "value": round(fps_per_chip, 1),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps_per_chip / A100_BASELINE_FPS, 3),
-                "infer_frames_per_sec_per_chip": round(infer_fps, 1),
-            }
-        )
-    )
+    payload = {
+        "metric": "train_frames_per_sec_per_chip",
+        "value": round(fps_per_chip, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps_per_chip / A100_BASELINE_FPS, 3),
+        "infer_frames_per_sec_per_chip": round(infer_fps, 1),
+    }
+    print(json.dumps(payload))
+    return payload
 
 
 if __name__ == "__main__":

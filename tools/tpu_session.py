@@ -60,6 +60,50 @@ def main() -> None:
         traceback.print_exc()
         print(f"trace capture CRASHED: {type(e).__name__}", flush=True)
 
+    # Same claim: a publishable bench run with the A/B winner's knobs
+    # (claims are scarce during outages — one landed claim should yield
+    # parity + A/B + trace + final numbers). Pallas-variant benches only
+    # publish when the parity suite passed; otherwise bench the best
+    # parity-safe variant.
+    print("=== winner bench ===", flush=True)
+    try:
+        KNOBS = {  # name -> (FUSE_ENTRY, FUSE_SHIFT, FUSE_PALLAS, PHOTO_GATED)
+            "plain": ("0", "0", None, None),
+            "photo-gated": ("0", "0", None, "1"),
+            "fused-jnp": ("1", "0", "0", None),
+            "fused-pallas": ("1", "0", "1", None),
+            "shift-pallas": ("0", "1", "1", None),
+            "all-pallas": ("1", "1", "1", None),
+            "all-pallas+photo": ("1", "1", "1", "1"),
+        }
+        safe = {"plain", "photo-gated", "fused-jnp"}
+        pool = {
+            k: v for k, v in results.items()
+            if parity_rc == 0 or k in safe
+        }
+        winner = min(pool, key=pool.get) if pool else "plain"
+        fe, fs, fp, pg = KNOBS[winner]
+        os.environ["FUSE_ENTRY"] = fe
+        os.environ["FUSE_SHIFT"] = fs
+        for key, val in (("FUSE_PALLAS", fp), ("PHOTO_GATED", pg)):
+            if val is None:
+                os.environ.pop(key, None)
+            else:
+                os.environ[key] = val
+        print(f"winner: {winner} (parity_rc={parity_rc})", flush=True)
+        import bench
+
+        payload = bench.main()
+        payload["variant"] = winner
+        payload["parity_rc"] = parity_rc
+        with open("/tmp/tpu_bench_winner.json", "w") as fp2:
+            json.dump(payload, fp2)
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        print(f"winner bench CRASHED: {type(e).__name__}", flush=True)
+
     sys.exit(parity_rc)
 
 
