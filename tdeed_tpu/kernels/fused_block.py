@@ -245,9 +245,12 @@ def _dv1_chain(v, g_row, okc, a1f, k1, k0, snap, per_op, cdt):
 # One pass over (v1, g1, xin|vs, dvd) produces, per entry block:
 #   dx   = conv1_dx(dv1) + upsample(downsample_dx(dvd))   [written once]
 #   dW1  = xin^T dv1,  dWd = xin_even^T dvd               [VMEM accums]
-#   and for the stem unit also the stem-BN backward sums
-#   S0s = sum(dzs), S1s = sum(dzs * vs) with dzs = relu'(zs) * dx,
-# where dv1 = relu'(z1)*g1*a1 + (v1*k1 + k0) is computed in-register —
+# (The stem-BN backward sums S0s/S1s are NOT computed here: they gate dx
+# by the stem relu mask, and a Mosaic-recomputed mask flips at sub-ulp
+# kink points — measured O(1) errors in 1/8 stem-BN-scale and 4/216
+# stem-dW entries on device. XLA recomputes dzs for dWs anyway in
+# fused_bwd, so the sums fuse into that existing pass for free.)
+# dv1 = relu'(z1)*g1*a1 + (v1*k1 + k0) is computed in-register —
 # eliminating XLA's duplicate operand-fusion materializations of dv1 (2x)
 # and relu(stem) (4x) that the trace attributed ~7 ms of the step to.
 
@@ -268,9 +271,10 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
     deterministic vs the jnp formulation.
     xt: (H, W, Cin, N) bf16 (stem conv output when with_stem — xin is
     recomputed in-register with XLA:TPU's measured single-rounding
-    semantics, see the in-kernel comment; residual stem-kink flips only
-    enter global SUMS, where they are tolerance-immaterial — else the
-    block input);
+    semantics, see the in-kernel comment; residual stem-kink flips change
+    xin by sub-ulp VALUES only (relu(~0) ≈ 0), which is why xin may be
+    recomputed while the stem MASK must not be (see module comment) —
+    else the block input);
     dvdt: (H/2, W/2, C, N) bf16; ab1: (2, C, 1) bf16 (a1, b1); kk: (2, C, 1)
     f32 (k1, k0); asbs: (2, Cin, 1) bf16 (stem fold) or None; w1/wd:
     (Cin, C) bf16.
@@ -293,7 +297,7 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
         if with_stem:
             (ab1_ref, kk_ref, asbs_ref, w1_ref, wd_ref,
              v_ref, g_ref, x_ref, dvd_ref,
-             dx_ref, dw1_ref, dwd_ref, s0_ref, s1_ref) = refs
+             dx_ref, dw1_ref, dwd_ref) = refs
         else:
             (ab1_ref, kk_ref, w1_ref, wd_ref,
              v_ref, g_ref, x_ref, dvd_ref,
@@ -304,9 +308,6 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
         def _():
             dw1_ref[...] = jnp.zeros_like(dw1_ref)
             dwd_ref[...] = jnp.zeros_like(dwd_ref)
-            if with_stem:
-                s0_ref[...] = jnp.zeros_like(s0_ref)
-                s1_ref[...] = jnp.zeros_like(s1_ref)
 
         a1 = ab1_ref[0]  # (C, 1) compute dtype
         k1 = kk_ref[0]   # (C, 1) f32
@@ -327,7 +328,7 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
             bsf = asbs_ref[1].astype(f32)
 
         def body(i, carry):
-            dw1_acc, dwd_acc, s0_acc, s1_acc = carry
+            dw1_acc, dwd_acc = carry
             v = v_ref[0, i]   # (C, nb) bf16
             # g_ref holds dz1 = relu'(z1) * g1, masked by P1 in XLA (see
             # module docstring); only the lane-validity mask applies here.
@@ -393,28 +394,12 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
             else:
                 dx_b = snap(dx_i).astype(cdt)
             dx_ref[0, i] = dx_b
-
-            if with_stem:
-                # stem BN sums from the bf16-rounded dx (bit-matches the
-                # jnp path, which reads back the materialized bf16 dx);
-                # the mask uses the unrounded f32 pre-relu, as XLA does.
-                dzs = jnp.where(
-                    (presf > 0) & okcin, snap(dx_i), jnp.float32(0)
-                )
-                s0_acc = s0_acc + dzs
-                s1_acc = s1_acc + dzs * jnp.where(okcin, vs, zb).astype(f32)
-            return dw1_acc, dwd_acc, s0_acc, s1_acc
+            return dw1_acc, dwd_acc
 
         z_cc = jnp.zeros((Cin, C), f32)
-        z_cn = jnp.zeros((Cin, nb), f32)
-        dw1_acc, dwd_acc, s0_acc, s1_acc = jax.lax.fori_loop(
-            0, wb, body, (z_cc, z_cc, z_cn, z_cn)
-        )
+        dw1_acc, dwd_acc = jax.lax.fori_loop(0, wb, body, (z_cc, z_cc))
         dw1_ref[...] += dw1_acc
         dwd_ref[...] += dwd_acc
-        if with_stem:
-            s0_ref[...] += jnp.sum(s0_acc, axis=1, keepdims=True)
-            s1_ref[...] += jnp.sum(s1_acc, axis=1, keepdims=True)
 
     const = lambda shape: pl.BlockSpec(shape, lambda j, nbi, h: (0,) * len(shape))
     big = lambda cdim: pl.BlockSpec(
@@ -440,9 +425,6 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
         jax.ShapeDtypeStruct((Cin, C), f32),
     ]
     out_specs = [big(Cin), const((Cin, C)), const((Cin, C))]
-    if with_stem:
-        out_shape += [jax.ShapeDtypeStruct((Cin, 1), f32)] * 2
-        out_specs += [const((Cin, 1))] * 2
 
     return pl.pallas_call(
         kernel,
@@ -462,8 +444,9 @@ def p2_backward(v1, dz1, x_or_vs, dvd, blk, m1, var1, stem=None,
     in XLA — the kernel must not recompute it, see _p2_pallas_call).
     All activations NHWC. ``blk``/``stem`` are the parameter trees;
     (m1, var1) the conv1 batch stats needed for the fold. Returns
-    (dx, dW1, dWd) and, when ``stem`` is given (with_stem unit),
-    additionally (S0s, S1s) — the stem BN backward global sums.
+    (dx, dW1, dWd). The stem BN backward sums are NOT produced here —
+    they need the stem relu mask, which must stay single-sourced in XLA
+    (fused_bwd computes them from its dzs pass).
 
     The k0/k1 BN-through-stats coefficients must be computed by the caller
     (they depend on the P1 global sums) and are passed via ``blk['_k']``.
@@ -492,8 +475,6 @@ def p2_backward(v1, dz1, x_or_vs, dvd, blk, m1, var1, stem=None,
     dx = jnp.transpose(outs[0], (3, 0, 1, 2))
     dW1 = outs[1].reshape(1, 1, Cin, C)
     dWd = outs[2].reshape(1, 1, Cin, C)
-    if stem is not None:
-        return dx, dW1, dWd, outs[3][:, 0], outs[4][:, 0]
     return dx, dW1, dWd
 
 
@@ -927,9 +908,11 @@ def make_fused_block(
             S0, S1, m1, var1, blk["conv1"]["bn"]["scale"], n1
         )
 
-        # P2: one pass over (v1, g1, xin|vs, dvd) -> dv1, dW1, dWd, dx
-        # (and, with a stem, the stem BN backward sums).
-        S0s = S1s = None
+        # P2: one pass over (v1, g1, xin|vs, dvd) -> dv1, dW1, dWd, dx.
+        # (The stem BN backward sums are always taken in XLA below, off
+        # the dzs pass fused_bwd needs for dWs anyway: the stem relu MASK
+        # must be single-sourced — a Mosaic-recomputed mask flips at
+        # sub-ulp kink points and each flip is an O(1) error in a sum.)
         if use_pallas:
             blk_k = {**blk, "_k": (k0, k1)}
             stem_arg = {"_fold": (a_s, b_s)} if with_stem else None
@@ -953,12 +936,11 @@ def make_fused_block(
                         jax.lax.psum(o, data_axis) for o in outs[1:]
                     )
 
-                n_out = 5 if with_stem else 3
                 run_p2 = _shard_map(
                     _p2_shard,
                     mesh=mesh,
                     in_specs=(P(data_axis),) * 4 + (P(),) * 4,
-                    out_specs=(P(data_axis),) + (P(),) * (n_out - 1),
+                    out_specs=(P(data_axis),) + (P(),) * 2,
                     # pallas_call's out_shape carries no vma; the manual
                     # psums above establish the replication the specs claim
                     check_vma=False,
@@ -966,11 +948,7 @@ def make_fused_block(
             else:
                 run_p2 = _p2_local
 
-            outs = run_p2(v1, dz1, xv, dvd, blk_k, m1, var1, stem_arg)
-            if with_stem:
-                dx, dW1, dWd, S0s, S1s = outs
-            else:
-                dx, dW1, dWd = outs
+            dx, dW1, dWd = run_p2(v1, dz1, xv, dvd, blk_k, m1, var1, stem_arg)
         else:
             dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
             dW1 = _conv_dw(xin, dv1, w1.shape)
@@ -996,12 +974,11 @@ def make_fused_block(
         if with_stem:
             ns = float(np.prod(vs.shape[:-1]))
             dzs = jnp.where(vs * a_s + b_s > 0, dx, jnp.zeros_like(dx))
-            if S0s is None:
-                dzsf = dzs.astype(jnp.float32)
-                S0s = jnp.sum(dzsf, axis=tuple(range(dzs.ndim - 1)))
-                S1s = jnp.sum(
-                    dzsf * vs.astype(jnp.float32), axis=tuple(range(dzs.ndim - 1))
-                )
+            dzsf = dzs.astype(jnp.float32)
+            S0s = jnp.sum(dzsf, axis=tuple(range(dzs.ndim - 1)))
+            S1s = jnp.sum(
+                dzsf * vs.astype(jnp.float32), axis=tuple(range(dzs.ndim - 1))
+            )
             k0s, k1s, d_gss, d_bss = _bn_bwd_coeffs(
                 S0s, S1s, ms, vars_, p["stem"]["bn"]["scale"], ns
             )

@@ -143,7 +143,7 @@ def full_p2(with_stem, debug=None):
     )
     got = jax.jit(lambda: call(interpret=INTERPRET))()
     want = call(interpret=True)
-    names = ["dx", "dW1", "dWd"] + (["S0s", "S1s"] if with_stem else [])
+    names = ["dx", "dW1", "dWd"]  # stem BN sums moved to XLA (fused_bwd)
     allok = True
     tag = f"p2[stem={with_stem}{',' + debug if debug else ''}]"
     for nm, gg, ww in zip(names, got, want):
