@@ -155,9 +155,10 @@ def _photometric_chain(x, p, out_dtype, gated: bool = False):
     per-clip gate scalars instead of computing them for every frame and
     selecting. Gates fire at p=.25, so the expected VPU work drops by the
     cost of ~0.75x(hue+blur); values are bit-identical either way (the
-    taken branch computes the same expressions). Off by default until
-    measured on device (Mosaic's scf.if lowering of lax.cond is the
-    risk, not the math — see tools/probe_pallas_probe.py)."""
+    taken branch computes the same expressions). ON by default since the
+    round-4 device A/B: -5.6 ms/step on the flagship envelope with a
+    bit-identical 20-step loss (Mosaic's scf.if lowering of lax.cond was
+    the risk, not the math; it measured clean)."""
     r, g, b = x[0], x[1], x[2]
 
     # --- hue (gated): rgb->hsv, shift h, hsv->rgb ----------------------
@@ -308,9 +309,10 @@ def train_preprocess_pallas(
 ) -> jax.Array:
     """Drop-in replacement for augment.train_preprocess using the fused
     kernel. frames: (B, T, H, W, 3) float-or-uint8 0..255. Returns
-    standardized bf16 (B, T, crop, crop, 3). Env PHOTO_GATED=1 selects the
-    lax.cond-gated chain (read at trace time — build a fresh jit per
-    setting, as the A/B tool does)."""
+    standardized bf16 (B, T, crop, crop, 3). The lax.cond-gated chain is
+    the default (device A/B: -5.6 ms/step, bit-identical loss); env
+    PHOTO_GATED=0 restores the compute-always+select chain (read at trace
+    time — build a fresh jit per setting, as the A/B tool does)."""
     from tdeed_tpu.train.augment import random_crop_batch
 
     bsz = frames.shape[0]
@@ -329,6 +331,6 @@ def train_preprocess_pallas(
     params = params.at[:, 14].set(flip)
     out = photometric_planar(
         planar, params, interpret=interpret,
-        gated=os.environ.get("PHOTO_GATED", "") == "1",
+        gated=os.environ.get("PHOTO_GATED", "1") == "1",
     )
     return jnp.transpose(out, (0, 1, 3, 4, 2))  # (B, T, H, W, 3) bf16

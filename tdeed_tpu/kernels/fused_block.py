@@ -366,7 +366,6 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
             dvd_i = jnp.where(okc, dvd_ref[0, gw // 2], zb)
             gate = jnp.where(h_even & (gw % 2 == 0), jnp.float32(1), jnp.float32(0))
             dotd = gate * jax.lax.dot(wdv, dvd_i, preferred_element_type=f32)
-            dx_i = dot1 + dotd
             dwd_acc = dwd_acc + gate * jax.lax.dot_general(
                 xin, dvd_i, (((1,), (1,)), ((), ())), preferred_element_type=f32
             )
@@ -392,7 +391,15 @@ def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
             elif _debug == "dotd":
                 dx_b = dotd.astype(cdt)
             else:
-                dx_b = snap(dx_i).astype(cdt)
+                # Mirror the jnp path's TWO materializations: each conv_dx
+                # emits a bf16 buffer, then the add rounds again. A single
+                # snap of (dot1 + dotd) differs at entries whose exact sum
+                # sits within an f32-ulp of a bf16 rounding boundary —
+                # harmless per entry (half a bf16 ulp), but the stem-BN
+                # backward sums downstream are cancellation-dominated and
+                # amplify those isolated flips to O(1) grad-entry errors
+                # (measured on device: 1/8 stem-BN-scale, 4/216 stem-dW).
+                dx_b = snap(snap(dot1) + snap(dotd)).astype(cdt)
             dx_ref[0, i] = dx_b
             return dw1_acc, dwd_acc
 
