@@ -80,7 +80,10 @@ def main():
         if name.endswith("photo-gated") or name.endswith("+photo"):
             os.environ["PHOTO_GATED"] = "1"
         else:
-            os.environ.pop("PHOTO_GATED", None)
+            # PHOTO_GATED now DEFAULTS to on; the non-photo variants must
+            # force it OFF (popping would silently measure gated-vs-gated
+            # and detach 'plain' from the recorded baselines).
+            os.environ["PHOTO_GATED"] = "0"
         model = build_model(
             dataclasses.replace(cfg, fuse_entry=fuse, fuse_shift=fuse_shift)
         )

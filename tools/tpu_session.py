@@ -67,13 +67,17 @@ def main() -> None:
     # parity-safe variant.
     print("=== winner bench ===", flush=True)
     try:
-        KNOBS = {  # name -> (FUSE_ENTRY, FUSE_SHIFT, FUSE_PALLAS, PHOTO_GATED)
-            "plain": ("0", "0", None, None),
+        # name -> (FUSE_ENTRY, FUSE_SHIFT, FUSE_PALLAS, PHOTO_GATED).
+        # PHOTO_GATED defaults ON in the kernel now, so variants that were
+        # MEASURED ungated in the A/B must pin "0" explicitly — None would
+        # resolve to gated and bench a different program than the A/B ran.
+        KNOBS = {
+            "plain": ("0", "0", None, "0"),
             "photo-gated": ("0", "0", None, "1"),
-            "fused-jnp": ("1", "0", "0", None),
-            "fused-pallas": ("1", "0", "1", None),
-            "shift-pallas": ("0", "1", "1", None),
-            "all-pallas": ("1", "1", "1", None),
+            "fused-jnp": ("1", "0", "0", "0"),
+            "fused-pallas": ("1", "0", "1", "0"),
+            "shift-pallas": ("0", "1", "1", "0"),
+            "all-pallas": ("1", "1", "1", "0"),
             "all-pallas+photo": ("1", "1", "1", "1"),
         }
         safe = {"plain", "photo-gated", "fused-jnp"}
