@@ -51,33 +51,49 @@ def _interleave_halves(y1: jax.Array, y2: jax.Array) -> jax.Array:
     return jnp.concatenate([regroup(y1), regroup(y2)], axis=-1)
 
 
+class _BareGateParams(nn.Module):
+    """Zero-init grouped-3D-conv gate parameters in the tree position
+    nn.Conv used (<parent>/{kernel, bias}) — the compute itself runs
+    through the factored gate GEMM (kernels/gated_shift.gsf_gate)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        shape = (3, 3, 3, self.channels // 2, 2)
+        k = self.param("kernel", nn.initializers.zeros, shape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (2,), jnp.float32)
+        return k, b
+
+
 class GSM(nn.Module):
     """Gate-Shift Module (ref: model/impl/gsm.py:69-116).
 
     Input (B, T, H, W, C). Zero-init gate conv => identity at init.
+
+    The 2-output-channel grouped gate conv lowers disastrously on the MXU
+    (its output pads to the 128-lane tile; measured ~30 ms/step for the
+    identical conv in GSF before the factored-gate rewrite) — so the gate
+    runs through the same factored channel-GEMM + hierarchical tap-sum as
+    GSF (kernels/gated_shift.gsf_gate, bit-exact vs the conv in fp32).
+    Parameter tree is unchanged (gate_conv/{kernel, bias}).
     """
 
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from tdeed_tpu.kernels.gated_shift import gsf_gate
+
         c = x.shape[-1]
+        assert c % 2 == 0, c
         xn = SplitBatchNorm(use_running_average=not train, name="bn")(x)
         xn = nn.relu(xn)
-        gate = nn.Conv(
-            features=2,
-            kernel_size=(3, 3, 3),
-            feature_group_count=2,
-            # "SAME" is torch-exact here ONLY because kernel 3 / stride 1
-            # pads symmetrically (1,1); at stride 2 XLA SAME pads (0,1)
-            # and diverges from torch — see ConvBN's explicit padding.
-            padding="SAME",
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="gate_conv",
-        )(xn)
-        gate = jnp.tanh(gate)
+        gate_w, gate_b = _BareGateParams(c, name="gate_conv")()
+        dt = self.dtype or x.dtype
+        gate = gsf_gate(
+            xn.astype(dt), gate_w.astype(jnp.float32), gate_b.astype(jnp.float32)
+        ).astype(dt)
         g1, g2 = gate[..., 0:1], gate[..., 1:2]
 
         x1, x2 = x[..., : c // 2], x[..., c // 2 :]

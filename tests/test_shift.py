@@ -141,3 +141,47 @@ def test_gated_shift_passthrough_and_identity_at_init(rng):
     np.testing.assert_allclose(
         np.sort(y[..., :fold], axis=-1), np.sort(x[..., :fold], axis=-1), rtol=1e-6
     )
+
+
+def test_gsm_factored_gate_is_conv_exact(rng):
+    """GSM routes its gate through the factored channel GEMM
+    (kernels/gated_shift.gsf_gate). Pin the full module output in fp32
+    against the same math with the DIRECT conv gate (gsf_gate_conv, the
+    reference lowering, ref: model/impl/gsm.py:73-96) at the accumulation-
+    order tolerance the GSF gate test uses (tests/test_gsf_kernel.py)."""
+    from tdeed_tpu.kernels.gated_shift import gsf_gate_conv
+    from tdeed_tpu.models.shift import _interleave_halves
+    from tdeed_tpu.ops.temporal import lshift_zero, rshift_zero
+
+    torch.manual_seed(9)
+    w = rng.standard_normal((3, 3, 3, F // 2, 2)).astype(np.float32) * 0.1
+    b = rng.standard_normal((2,)).astype(np.float32) * 0.1
+    bn_p = {
+        "scale": rng.uniform(0.8, 1.2, F).astype(np.float32),
+        "bias": rng.standard_normal(F).astype(np.float32) * 0.1,
+    }
+    bn_s = {
+        "mean": rng.standard_normal(F).astype(np.float32) * 0.1,
+        "var": rng.uniform(0.5, 1.5, F).astype(np.float32),
+    }
+    variables = {
+        "params": {"bn": bn_p, "gate_conv": {"kernel": w, "bias": b}},
+        "batch_stats": {"bn": bn_s},
+    }
+    x = rng.standard_normal((B, T, H, W, F)).astype(np.float32)
+    got = np.asarray(GSM(dtype=jnp.float32).apply(variables, jnp.asarray(x), False))
+
+    # Same module math, direct-conv gate. BN in SplitBatchNorm's exact
+    # fused-affine form (x*a + b with a = scale*rsqrt(var+eps)).
+    a = jnp.asarray(bn_p["scale"]) * jax.lax.rsqrt(jnp.asarray(bn_s["var"]) + 1e-5)
+    bb = jnp.asarray(bn_p["bias"]) - jnp.asarray(bn_s["mean"]) * a
+    xn = jnp.maximum(jnp.asarray(x) * a + bb, 0.0)
+    gate = gsf_gate_conv(xn, jnp.asarray(w), jnp.asarray(b))
+    g1, g2 = gate[..., 0:1], gate[..., 1:2]
+    x1, x2 = jnp.asarray(x[..., : F // 2]), jnp.asarray(x[..., F // 2 :])
+    y1, y2 = g1 * x1, g2 * x2
+    y1 = lshift_zero(y1, axis=1) + (x1 - y1)
+    y2 = rshift_zero(y2, axis=1) + (x2 - y2)
+    want = np.asarray(_interleave_halves(y1, y2))
+
+    np.testing.assert_allclose(got, want, atol=3e-5)
