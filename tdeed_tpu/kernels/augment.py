@@ -239,7 +239,22 @@ def _to_f32(ref):
     return x.astype(jnp.float32)
 
 
-def _kernel(p_ref, x_ref, out_ref, *, gated: bool = False):
+def _flip_matmul(x):
+    """Reverse the lane (W) axis of (3, H, W) via the W x W exchange matrix.
+    Mosaic has no `rev` lowering, so the reversal is a multiply on the idle
+    MXU — a permutation matrix, hence bit-exact in fp32."""
+    c, h, w = x.shape
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    # (select over i1 vectors fails to legalize in Mosaic: cast first)
+    ex = (rowi + coli == w - 1).astype(jnp.float32)
+    return jnp.dot(
+        x.reshape(c * h, w), ex, preferred_element_type=jnp.float32
+    ).reshape(c, h, w)
+
+
+def _kernel(p_ref, x_ref, out_ref, *, gated: bool = False,
+            flip_mode: str = "matmul"):
     # x_ref: (1, 1, 3, H, W) uint8 (or float 0..255);
     # p_ref: (B, N_PARAMS) SMEM fp32 (full array — SMEM blocks must cover
     # whole dims), row selected by program id.
@@ -253,38 +268,49 @@ def _kernel(p_ref, x_ref, out_ref, *, gated: bool = False):
     # with flipping (per-pixel ops; frame-mean contrast and the symmetric
     # reflect-padded blur are mirror-invariant), so flipping the INPUT here
     # equals the reference's flip at the end of the chain
-    # (ref: model/model.py:84). Mosaic has no `rev` lowering, so the
-    # reversal is a multiply by the W x W exchange matrix on the idle MXU —
-    # a permutation matrix, hence bit-exact in fp32.
-    c, h, w = x.shape
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-    coli = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-    # (select over i1 vectors fails to legalize in Mosaic: cast first)
-    perm = jnp.where(
-        p(14) > 0.5,
-        (rowi + coli == w - 1).astype(jnp.float32),
-        (rowi == coli).astype(jnp.float32),
-    )
-    x = jnp.dot(
-        x.reshape(c * h, w), perm, preferred_element_type=jnp.float32
-    ).reshape(c, h, w)
+    # (ref: model/model.py:84). Modes (bit-identical outputs, different
+    # schedules — see train_preprocess_pallas):
+    #   matmul: always multiply by a select-built permutation (exchange or
+    #           identity). ~2*W*W*3*H FLOP/frame regardless of the gate —
+    #           negligible at W=224, ~1.7 GFLOP/frame at SNB's W=796.
+    #   cond:   lax.cond on the flip gate; the exchange matmul only runs
+    #           for flipped clips (p=.5), the rest are a no-op.
+    #   xla:    flip happens OUTSIDE the kernel (u8 reverse+select in XLA,
+    #           one byte-wide pass); param 14 arrives 0 here.
+    if flip_mode == "matmul":
+        c, h, w = x.shape
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        perm = jnp.where(
+            p(14) > 0.5,
+            (rowi + coli == w - 1).astype(jnp.float32),
+            (rowi == coli).astype(jnp.float32),
+        )
+        x = jnp.dot(
+            x.reshape(c * h, w), perm, preferred_element_type=jnp.float32
+        ).reshape(c, h, w)
+    elif flip_mode == "cond":
+        x = jax.lax.cond(p(14) > 0.5, _flip_matmul, lambda v: v, x)
+    else:
+        assert flip_mode == "xla", flip_mode
 
     out_ref[0, 0] = _photometric_chain(x, p, out_ref.dtype, gated=gated)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "gated"))
+@functools.partial(jax.jit, static_argnames=("interpret", "gated", "flip_mode"))
 def photometric_planar(
     frames_planar: jax.Array,  # (B, T, 3, H, W) uint8/float 0..255 (cropped, flipped)
     params: jax.Array,         # (B, N_PARAMS) fp32 from sample_params
     *,
     interpret: bool = False,
     gated: bool = False,
+    flip_mode: str = "matmul",
 ) -> jax.Array:
     """Fused /255 + photometric + standardize. Returns (B, T, 3, H, W) bf16."""
     bsz, t, c, h, w = frames_planar.shape
     assert c == 3
     return pl.pallas_call(
-        functools.partial(_kernel, gated=gated),
+        functools.partial(_kernel, gated=gated, flip_mode=flip_mode),
         grid=(bsz, t),
         in_specs=[
             pl.BlockSpec(
@@ -311,14 +337,27 @@ def train_preprocess_pallas(
     kernel. frames: (B, T, H, W, 3) float-or-uint8 0..255. Returns
     standardized bf16 (B, T, crop, crop, 3). The lax.cond-gated chain is
     the default (device A/B: -5.6 ms/step, bit-identical loss); env
-    PHOTO_GATED=0 restores the compute-always+select chain (read at trace
-    time — build a fresh jit per setting, as the A/B tool does)."""
+    PHOTO_GATED=0 restores the compute-always+select chain. Env FLIP_MODE
+    in {matmul, cond, xla} selects the hflip schedule (see _kernel; all
+    three are bit-identical — 'matmul' is the measured flagship default,
+    'cond'/'xla' avoid the always-on W x W exchange matmul that grows
+    quadratically toward SNB's W=796). Both env knobs are read at trace
+    time — build a fresh jit per setting, as the A/B tools do."""
     from tdeed_tpu.train.augment import random_crop_batch
 
     bsz = frames.shape[0]
     kc, kf, kp = jax.random.split(key, 3)
+    flip_mode = os.environ.get("FLIP_MODE", "matmul")
 
     x = random_crop_batch(frames, crop_dim, kc)
+    flip = (jax.random.uniform(kf, (bsz,)) < 0.5).astype(jnp.float32)
+    if flip_mode == "xla":
+        # One reverse+select pass at the input width (u8: byte-wide —
+        # 4x less traffic than the old post-chain fp32 flip this kernel
+        # originally replaced).
+        x = jnp.where(
+            (flip > 0.5)[:, None, None, None, None], x[:, :, :, ::-1, :], x
+        )
     planar = jnp.transpose(x, (0, 1, 4, 2, 3))
     if not jnp.issubdtype(planar.dtype, jnp.integer):
         # mixup blends are fractional: stage as bf16 (integers pass as u8 —
@@ -327,10 +366,11 @@ def train_preprocess_pallas(
     params = sample_params(kp, bsz)
     # per-clip horizontal flip rides param slot 14 into the kernel (the
     # old standalone XLA reverse+select cost ~2.9 ms/step, trace-measured)
-    flip = (jax.random.uniform(kf, (bsz,)) < 0.5).astype(jnp.float32)
-    params = params.at[:, 14].set(flip)
+    if flip_mode != "xla":
+        params = params.at[:, 14].set(flip)
     out = photometric_planar(
         planar, params, interpret=interpret,
         gated=os.environ.get("PHOTO_GATED", "1") == "1",
+        flip_mode=flip_mode,
     )
     return jnp.transpose(out, (0, 1, 3, 4, 2))  # (B, T, H, W, 3) bf16

@@ -175,3 +175,35 @@ def test_kernel_inkernel_flip_matches_flipped_input(rng):
         _xla_chain(jnp.asarray(pre_flipped), jnp.asarray(params)), np.float32
     )
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_flip_modes_bit_identical(rng):
+    """The three hflip schedules — always-matmul, lax.cond-gated matmul,
+    and XLA-side input flip — must produce bit-identical kernel outputs
+    (the exchange matrix is a permutation: exact in fp32)."""
+    from tdeed_tpu.kernels.augment import train_preprocess_pallas
+
+    frames = rng.integers(0, 256, (4, 2, 16, 24, 3)).astype(np.uint8)
+    key = jax.random.PRNGKey(5)
+
+    import os
+
+    outs = {}
+    for mode in ("matmul", "cond", "xla"):
+        os.environ["FLIP_MODE"] = mode
+        try:
+            outs[mode] = np.asarray(
+                train_preprocess_pallas(
+                    jnp.asarray(frames), key, None, interpret=True
+                ).astype(jnp.float32)
+            )
+        finally:
+            os.environ.pop("FLIP_MODE", None)
+
+    # same key => same flip draws; at least one clip must flip for the
+    # test to mean anything (key 5 over 4 clips: overwhelmingly likely,
+    # and deterministic for a fixed jax version)
+    base = outs["matmul"]
+    assert base.shape == (4, 2, 16, 24, 3)
+    np.testing.assert_array_equal(outs["cond"], base)
+    np.testing.assert_array_equal(outs["xla"], base)
