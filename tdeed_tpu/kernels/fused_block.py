@@ -20,9 +20,21 @@ with a hand-derived backward split into:
     relu) differentiated by ``jax.vjp`` re-run — XLA handles it well;
   * the 112^2-heavy middle, written so the big tensors (v1, v_stem, dv2,
     dx) stream through exactly two passes (P1: global BN1 sums + conv2
-    dW; P2: everything else). A Pallas formulation of P1/P2 can slot in
-    behind ``use_pallas`` (the jnp formulation is the reference and the
-    CPU path).
+    dW; P2: everything else).
+
+A single-pass Pallas P2 family (entry / shift / conv1-unit kernels) was
+built for this module, parity-gated and A/B-measured over rounds 3-4 —
+and PRUNED: on device it measured NEGATIVE on the full step (fused-jnp
+76.0 vs fused-pallas 82.7 vs all-pallas 83.9 ms; XLA overlaps the per-op
+backward too well), and the stem variant kept O(1) grad-entry mismatches
+from Mosaic/XLA bf16 materialization differences even after an exact-RNE
+double-snap fix (re-measured round 4: 1/8 stem-BN-scale, 7/216 stem-dW
+entries). Per the project's r1-GSF precedent, negative-measuring kernels
+are deleted and the findings kept: see docs/DESIGN.md "fused entry/shift
+blocks" for the three measured Mosaic/XLA bf16 semantics facts and the
+full A/B ladder (the probes lived in tools/probe_fused_miscompile.py,
+removed with the kernels; tools/profile_pallas_probe.py retains the
+standalone streaming/roofline microbenches).
 
 Numerics mirror the production modules exactly: bf16 convs with fp32
 params, SplitBatchNorm's fp32 ``E[x^2]-E[x]^2`` stats and bf16 fold
@@ -30,23 +42,18 @@ params, SplitBatchNorm's fp32 ``E[x^2]-E[x]^2`` stats and bf16 fold
 batch statistics (standard training BN backward). Batch mean/var for the
 running-average updates are returned as auxiliary outputs; their
 cotangents are treated as zero (running stats are never differentiated —
-same as the flax mutable-collection semantics).
+same as the flax mutable-collection semantics). Under a DP mesh the jnp
+formulation needs no special handling: GSPMD partitions the dot_generals
+into per-shard partials + cross-replica reduces automatically.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-
-try:  # public since jax 0.6; the experimental alias for older trees
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
 
 BN_EPS = 1e-5
 
@@ -194,530 +201,23 @@ def _conv_dx(dv, w, x_shape, dtype, stride=1, pad=0, groups=1):
     return vjp(dv)[0]
 
 
-def _snap_bf16(x):
-    """f32 -> f32 snapped to the nearest-even bf16 value.
-
-    Bit-twiddled so no compiler can elide it: Mosaic carries bf16-typed
-    vectors as unrounded f32 in registers, so both plain bf16 arithmetic
-    and ``x.astype(bf16).astype(f32)`` silently skip XLA's per-op bf16
-    rounding inside a kernel. The resulting 0.4%-level summand drift is
-    amplified by cancellation in the dW accumulations to O(1) entry
-    errors (measured via tools/probe_fused_miscompile.py), so the fused
-    backward forces the rounding explicitly at every point the jnp/XLA
-    formulation rounds.
-    """
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    lsb = jax.lax.shift_right_logical(u, jnp.uint32(16)) & jnp.uint32(1)
-    r = (u + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(r, jnp.float32)
-
-
-def _dv1_chain(v, g_row, okc, a1f, k1, k0, snap, per_op, cdt):
-    """In-kernel dv1 = dz1*a1 + (v*k1 + k0) with backend-matched rounding.
-
-    The single source for all three P2 kernels (entry/shift/conv1-unit):
-    rounding='single' mirrors XLA:TPU, whose bf16 propagation keeps whole
-    elementwise chains in f32 and rounds ONCE at each materialization
-    (measured: tools/probe_fused_miscompile.py semantics() — 0/1M mismatch
-    vs single-round, 277k/1M vs per-op); 'per-op' mirrors XLA:CPU / eager,
-    the mode the CPU-oracle tests compare against. Returns (dv1, dzf)."""
-    f32 = jnp.float32
-    dzf = jnp.where(okc, g_row, jnp.zeros((), cdt)).astype(f32)
-    if per_op:
-        dv1f = snap(snap(dzf * a1f) + snap(v.astype(f32) * k1 + k0))
-    else:
-        dv1f = snap(dzf * a1f + (v.astype(f32) * k1 + k0))
-    return jnp.where(okc, dv1f, jnp.zeros((), f32)).astype(cdt), dzf
-
-
 # ---------------------------------------------------------------------------
-# Pallas P2: the single-pass heavy backward
+# The fused op factories
 # ---------------------------------------------------------------------------
-#
-# The early activations are laid out batch-minor by XLA:TPU ({0,3,2,1}:
-# physical H, W, C, N — probed from the compiled step HLO), so the kernel
-# works on the free bitcast-transpose (H, W, C, N) with N riding the
-# 128-lane dim. Device-trace microbenchmarks (tools/profile_pallas_probe.py)
-# show this streams at ~586 GB/s with the per-pixel (Cin,C)@(C,N) MXU dots
-# and the (.,N)@(N,.) outer-product dW accumulation hiding almost entirely
-# behind the DMA (+0.1/+0.2 ms per full pass).
-#
-# One pass over (v1, g1, xin|vs, dvd) produces, per entry block:
-#   dx   = conv1_dx(dv1) + upsample(downsample_dx(dvd))   [written once]
-#   dW1  = xin^T dv1,  dWd = xin_even^T dvd               [VMEM accums]
-# (The stem-BN backward sums S0s/S1s are NOT computed here: they gate dx
-# by the stem relu mask, and a Mosaic-recomputed mask flips at sub-ulp
-# kink points — measured O(1) errors in 1/8 stem-BN-scale and 4/216
-# stem-dW entries on device. XLA recomputes dzs for dWs anyway in
-# fused_bwd, so the sums fuse into that existing pass for free.)
-# dv1 = relu'(z1)*g1*a1 + (v1*k1 + k0) is computed in-register —
-# eliminating XLA's duplicate operand-fusion materializations of dv1 (2x)
-# and relu(stem) (4x) that the trace attributed ~7 ms of the step to.
 
 
-def _p2_pallas_call(v1t, dz1t, xt, dvdt, ab1, kk, asbs, w1, wd,
-                    *, with_stem: bool, interpret: bool,
-                    rounding: str = "single",
-                    _debug: Optional[str] = None):
-    """The raw pallas_call in the transposed (H, W, C, N) view.
-
-    v1t: (H, W, C, N) bf16; dz1t: (H, W, C, N) bf16 — the relu-MASKED
-    conv2 input-gradient, masked by P1 in XLA. The conv1 mask must NOT be
-    recomputed here: Mosaic's f32 FMA scheduling of ``v*a + b`` differs
-    from XLA's by sub-ulp amounts, so a recomputed ``pre > 0`` flips at
-    elements sitting within an ulp of the relu kink (measured by
-    tools/probe_fused_miscompile.py) and each flip costs an O(1) error in
-    dx / a dW1 column. Single-sourcing the mask makes the kernel
-    deterministic vs the jnp formulation.
-    xt: (H, W, Cin, N) bf16 (stem conv output when with_stem — xin is
-    recomputed in-register with XLA:TPU's measured single-rounding
-    semantics, see the in-kernel comment; residual stem-kink flips change
-    xin by sub-ulp VALUES only (relu(~0) ≈ 0), which is why xin may be
-    recomputed while the stem MASK must not be (see module comment) —
-    else the block input);
-    dvdt: (H/2, W/2, C, N) bf16; ab1: (2, C, 1) bf16 (a1, b1); kk: (2, C, 1)
-    f32 (k1, k0); asbs: (2, Cin, 1) bf16 (stem fold) or None; w1/wd:
-    (Cin, C) bf16.
-
-    _debug (tools/probe_fused_miscompile.py only) reroutes an intermediate
-    to the dx output to localize Mosaic lowering bugs: 'dv1' | 'xin' |
-    'dot1' (conv1-dx term only) | 'dotd' (downsample term only).
-    """
-    H_, W_, C, Nn = v1t.shape
-    Cin = xt.shape[2]
-    wb = W_ // 2
-    assert W_ % 2 == 0 and H_ % 2 == 0, (H_, W_)
-    nb = min(256, Nn)
-    n_steps = -(-Nn // nb)
-    grid = (2, n_steps, H_)  # h minor: consecutive h pairs share the dvd row
-    f32 = jnp.float32
-    cdt = v1t.dtype  # compute dtype (bf16 in production, f32 in fp32 tests)
-
-    def kernel(*refs):
-        if with_stem:
-            (ab1_ref, kk_ref, asbs_ref, w1_ref, wd_ref,
-             v_ref, g_ref, x_ref, dvd_ref,
-             dx_ref, dw1_ref, dwd_ref) = refs
-        else:
-            (ab1_ref, kk_ref, w1_ref, wd_ref,
-             v_ref, g_ref, x_ref, dvd_ref,
-             dx_ref, dw1_ref, dwd_ref) = refs
-        j, nbi, h = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-
-        @pl.when((j == 0) & (nbi == 0) & (h == 0))
-        def _():
-            dw1_ref[...] = jnp.zeros_like(dw1_ref)
-            dwd_ref[...] = jnp.zeros_like(dwd_ref)
-
-        a1 = ab1_ref[0]  # (C, 1) compute dtype
-        k1 = kk_ref[0]   # (C, 1) f32
-        k0 = kk_ref[1]
-        w1v = w1_ref[...]
-        wdv = wd_ref[...]
-        # lane validity (N tail of the last n-block)
-        okc = jax.lax.broadcasted_iota(jnp.int32, (C, nb), 1) + nbi * nb < Nn
-        okcin = jax.lax.broadcasted_iota(jnp.int32, (Cin, nb), 1) + nbi * nb < Nn
-        h_even = h % 2 == 0
-        zb = jnp.zeros((), cdt)
-        zf = jnp.zeros((), f32)
-        snap = _snap_bf16 if cdt == jnp.bfloat16 else (lambda t: t)
-        per_op = rounding == "per-op"
-        a1f = a1.astype(f32)
-        if with_stem:
-            asf = asbs_ref[0].astype(f32)
-            bsf = asbs_ref[1].astype(f32)
-
-        def body(i, carry):
-            dw1_acc, dwd_acc = carry
-            v = v_ref[0, i]   # (C, nb) bf16
-            # g_ref holds dz1 = relu'(z1) * g1, masked by P1 in XLA (see
-            # module docstring); only the lane-validity mask applies here.
-            dv1, dzf = _dv1_chain(
-                v, g_ref[0, i], okc, a1f, k1, k0, snap, per_op, cdt
-            )
-            if with_stem:
-                vs = x_ref[0, i]  # (Cin, nb) stem conv out
-                # presf: the relu/mask operand exactly as the backend's
-                # jnp path computes it (unrounded f32 chain on TPU,
-                # per-op bf16 on CPU)
-                if per_op:
-                    presf = snap(snap(vs.astype(f32) * asf) + bsf)
-                else:
-                    presf = vs.astype(f32) * asf + bsf
-                xin = jnp.where(
-                    okcin, snap(jnp.maximum(presf, zf)), zf
-                ).astype(cdt)
-            else:
-                xin = jnp.where(okcin, x_ref[0, i], zb)
-
-            dot1 = jax.lax.dot(w1v, dv1, preferred_element_type=f32)
-            dw1_acc = dw1_acc + jax.lax.dot_general(
-                xin, dv1, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            )
-
-            # downsample (1x1 stride-2): contributes at even (h, w) only.
-            # The dot always runs (measured free behind the DMA stream); the
-            # result is gated to zero elsewhere. Parity and the dvd column
-            # are in GLOBAL w (j*wb + i): with odd wb (W = 2 mod 4, e.g.
-            # 14^2 rows) the j=1 half starts on an odd column, so local-i
-            # parity would be phase-inverted there — the dvd block is the
-            # full row for the same reason.
-            gw = j * wb + i
-            dvd_i = jnp.where(okc, dvd_ref[0, gw // 2], zb)
-            gate = jnp.where(h_even & (gw % 2 == 0), jnp.float32(1), jnp.float32(0))
-            dotd = gate * jax.lax.dot(wdv, dvd_i, preferred_element_type=f32)
-            dwd_acc = dwd_acc + gate * jax.lax.dot_general(
-                xin, dvd_i, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            )
-            def fitC(val):
-                return val[:Cin] if Cin <= C else jnp.concatenate(
-                    [val, jnp.zeros((Cin - C, nb), val.dtype)], axis=0
-                )
-
-            if _debug == "dv1":
-                dx_b = fitC(dv1)
-            elif _debug == "v":
-                dx_b = fitC(v)
-            elif _debug == "a1b":
-                dx_b = fitC(a1 + jnp.zeros((C, nb), cdt))
-            elif _debug == "okc":
-                dx_b = fitC(okc.astype(cdt))
-            elif _debug == "dz":
-                dx_b = fitC(dzf.astype(cdt))
-            elif _debug == "xin":
-                dx_b = xin
-            elif _debug == "dot1":
-                dx_b = dot1.astype(cdt)
-            elif _debug == "dotd":
-                dx_b = dotd.astype(cdt)
-            else:
-                # Mirror the jnp path's TWO materializations: each conv_dx
-                # emits a bf16 buffer, then the add rounds again. A single
-                # snap of (dot1 + dotd) differs at entries whose exact sum
-                # sits within an f32-ulp of a bf16 rounding boundary —
-                # harmless per entry (half a bf16 ulp), but the stem-BN
-                # backward sums downstream are cancellation-dominated and
-                # amplify those isolated flips to O(1) grad-entry errors
-                # (measured on device: 1/8 stem-BN-scale, 4/216 stem-dW).
-                dx_b = snap(snap(dot1) + snap(dotd)).astype(cdt)
-            dx_ref[0, i] = dx_b
-            return dw1_acc, dwd_acc
-
-        z_cc = jnp.zeros((Cin, C), f32)
-        dw1_acc, dwd_acc = jax.lax.fori_loop(0, wb, body, (z_cc, z_cc))
-        dw1_ref[...] += dw1_acc
-        dwd_ref[...] += dwd_acc
-
-    const = lambda shape: pl.BlockSpec(shape, lambda j, nbi, h: (0,) * len(shape))
-    big = lambda cdim: pl.BlockSpec(
-        (1, wb, cdim, nb), lambda j, nbi, h: (h, j, 0, nbi)
-    )
-    # full dvd row (it is half-width already): a per-j half would need a
-    # ragged split when wb is odd (W = 2 mod 4)
-    dvd_spec = pl.BlockSpec(
-        (1, W_ // 2, C, nb), lambda j, nbi, h: (h // 2, 0, 0, nbi)
-    )
-    in_specs = [const((2, C, 1)), const((2, C, 1))]
-    args = [ab1, kk]
-    if with_stem:
-        in_specs.append(const((2, Cin, 1)))
-        args.append(asbs)
-    in_specs += [const((Cin, C)), const((Cin, C)), big(C), big(C), big(Cin),
-                 dvd_spec]
-    args += [w1, wd, v1t, dz1t, xt, dvdt]
-
-    out_shape = [
-        jax.ShapeDtypeStruct((H_, W_, Cin, Nn), cdt),
-        jax.ShapeDtypeStruct((Cin, C), f32),
-        jax.ShapeDtypeStruct((Cin, C), f32),
-    ]
-    out_specs = [big(Cin), const((Cin, C)), const((Cin, C))]
-
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*args)
-
-
-def p2_backward(v1, dz1, x_or_vs, dvd, blk, m1, var1, stem=None,
-                *, interpret: bool = False, rounding: str = "single"):
-    """Single-pass heavy backward (see module docstring).
-
-    ``dz1`` is the relu-masked conv2 input-gradient (P1 applies the mask
-    in XLA — the kernel must not recompute it, see _p2_pallas_call).
-    All activations NHWC. ``blk``/``stem`` are the parameter trees;
-    (m1, var1) the conv1 batch stats needed for the fold. Returns
-    (dx, dW1, dWd). The stem BN backward sums are NOT produced here —
-    they need the stem relu mask, which must stay single-sourced in XLA
-    (fused_bwd computes them from its dzs pass).
-
-    The k0/k1 BN-through-stats coefficients must be computed by the caller
-    (they depend on the P1 global sums) and are passed via ``blk['_k']``.
-    """
-    k0, k1 = blk["_k"]
-    dtype = v1.dtype
-    _, a1, b1 = _fold(m1, var1, blk["conv1"]["bn"]["scale"],
-                      blk["conv1"]["bn"]["bias"], dtype)
-    t = lambda a: jnp.transpose(a, (1, 2, 3, 0))
-    w1 = blk["conv1"]["conv"]["kernel"][0, 0].astype(dtype)   # (Cin, C)
-    wd = blk["downsample"]["conv"]["kernel"][0, 0].astype(dtype)
-    C = w1.shape[1]
-    Cin = w1.shape[0]
-    ab1 = jnp.stack([a1, b1]).reshape(2, C, 1)
-    kk = jnp.stack([k1.astype(jnp.float32),
-                    k0.astype(jnp.float32)]).reshape(2, C, 1)
-    if stem is not None:
-        a_s, b_s = stem["_fold"]
-        asbs = jnp.stack([a_s, b_s]).reshape(2, Cin, 1)
-    else:
-        asbs = None
-    outs = _p2_pallas_call(
-        t(v1), t(dz1), t(x_or_vs), t(dvd), ab1, kk, asbs, w1, wd,
-        with_stem=stem is not None, interpret=interpret, rounding=rounding,
-    )
-    dx = jnp.transpose(outs[0], (3, 0, 1, 2))
-    dW1 = outs[1].reshape(1, 1, Cin, C)
-    dWd = outs[2].reshape(1, 1, Cin, C)
-    return dx, dW1, dWd
-
-
-def _p2_shift_pallas_call(v1t, dz1t, xst, xdt, dvdt, ab1, kk, w1, wd,
-                          *, interpret: bool, rounding: str = "single"):
-    """Shift-variant P2 in the transposed (H, W, C, N) view.
-
-    Same single-pass structure as ``_p2_pallas_call`` with two input
-    tensors instead of one shared ``xin``: ``xst`` (shifted, feeds conv1's
-    dW and receives dxs) and ``xdt`` (pre-shift, feeds the downsample dW
-    and receives dxd). ``xdt`` rows are only needed at even h — its
-    BlockSpec maps consecutive h pairs to the even row, so odd rows are
-    never DMA'd. Outputs: dxs, dxd (both (H, W, Cin, N)), dW1, dWd.
-    """
-    H_, W_, C, Nn = v1t.shape
-    Cin = xst.shape[2]
-    wb = W_ // 2
-    assert W_ % 2 == 0 and H_ % 2 == 0, (H_, W_)
-    nb = min(256, Nn)
-    n_steps = -(-Nn // nb)
-    grid = (2, n_steps, H_)
-    f32 = jnp.float32
-    cdt = v1t.dtype
-
-    def kernel(ab1_ref, kk_ref, w1_ref, wd_ref,
-               v_ref, g_ref, xs_ref, xd_ref, dvd_ref,
-               dxs_ref, dxd_ref, dw1_ref, dwd_ref):
-        j, nbi, h = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-
-        @pl.when((j == 0) & (nbi == 0) & (h == 0))
-        def _():
-            dw1_ref[...] = jnp.zeros_like(dw1_ref)
-            dwd_ref[...] = jnp.zeros_like(dwd_ref)
-
-        a1 = ab1_ref[0]
-        k1 = kk_ref[0]
-        k0 = kk_ref[1]
-        w1v = w1_ref[...]
-        wdv = wd_ref[...]
-        okc = jax.lax.broadcasted_iota(jnp.int32, (C, nb), 1) + nbi * nb < Nn
-        okcin = jax.lax.broadcasted_iota(jnp.int32, (Cin, nb), 1) + nbi * nb < Nn
-        h_even = h % 2 == 0
-        zb = jnp.zeros((), cdt)
-        zf = jnp.zeros((), f32)
-        snap = _snap_bf16 if cdt == jnp.bfloat16 else (lambda t: t)
-        per_op = rounding == "per-op"
-        a1f = a1.astype(f32)
-
-        def body(i, carry):
-            dw1_acc, dwd_acc = carry
-            v = v_ref[0, i]
-            dv1, _ = _dv1_chain(
-                v, g_ref[0, i], okc, a1f, k1, k0, snap, per_op, cdt
-            )
-            xs_i = jnp.where(okcin, xs_ref[0, i], zb)
-
-            dxs_ref[0, i] = snap(
-                jax.lax.dot(w1v, dv1, preferred_element_type=f32)
-            ).astype(cdt)
-            dw1_acc = dw1_acc + jax.lax.dot_general(
-                xs_i, dv1, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            )
-
-            # downsample path: contributes at even (h, w) only; xd_ref holds
-            # the even-h row for this h pair (BlockSpec h//2*2), gated to
-            # zero on the odd row / odd columns. Parity and the dvd column
-            # use GLOBAL w (j*wb + i) — see _p2_pallas_call (odd-wb rows).
-            gw = j * wb + i
-            dvd_i = jnp.where(okc, dvd_ref[0, gw // 2], zb)
-            gate = jnp.where(h_even & (gw % 2 == 0), jnp.float32(1), jnp.float32(0))
-            dotd = gate * jax.lax.dot(wdv, dvd_i, preferred_element_type=f32)
-            dxd_ref[0, i] = snap(dotd).astype(cdt)
-            xd_i = jnp.where(okcin, xd_ref[0, i], zb)
-            dwd_acc = dwd_acc + gate * jax.lax.dot_general(
-                xd_i, dvd_i, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            )
-            return dw1_acc, dwd_acc
-
-        z_cc = jnp.zeros((Cin, C), f32)
-        dw1_acc, dwd_acc = jax.lax.fori_loop(0, wb, body, (z_cc, z_cc))
-        dw1_ref[...] += dw1_acc
-        dwd_ref[...] += dwd_acc
-
-    const = lambda shape: pl.BlockSpec(shape, lambda j, nbi, h: (0,) * len(shape))
-    big = lambda cdim: pl.BlockSpec(
-        (1, wb, cdim, nb), lambda j, nbi, h: (h, j, 0, nbi)
-    )
-    xd_spec = pl.BlockSpec(
-        (1, wb, Cin, nb), lambda j, nbi, h: (h // 2 * 2, j, 0, nbi)
-    )
-    # full dvd row: a per-j half would need a ragged split when wb is odd
-    dvd_spec = pl.BlockSpec(
-        (1, W_ // 2, C, nb), lambda j, nbi, h: (h // 2, 0, 0, nbi)
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[const((2, C, 1)), const((2, C, 1)), const((Cin, C)),
-                  const((Cin, C)), big(C), big(C), big(Cin), xd_spec,
-                  dvd_spec],
-        out_specs=[big(Cin), big(Cin), const((Cin, C)), const((Cin, C))],
-        out_shape=[
-            jax.ShapeDtypeStruct((H_, W_, Cin, Nn), cdt),
-            jax.ShapeDtypeStruct((H_, W_, Cin, Nn), cdt),
-            jax.ShapeDtypeStruct((Cin, C), jnp.float32),
-            jax.ShapeDtypeStruct((Cin, C), jnp.float32),
-        ],
-        interpret=interpret,
-    )(ab1, kk, w1, wd, v1t, dz1t, xst, xdt, dvdt)
-
-
-def p2_shift_backward(v1, dz1, xs, x, dvd, blk, m1, var1,
-                      *, interpret: bool = False, rounding: str = "single"):
-    """Shift-variant single-pass heavy backward. All activations NHWC;
-    ``blk['_k']`` carries the P1-derived BN coefficients (see
-    ``p2_backward``). Returns (dxs, dxd, dW1, dWd)."""
-    k0, k1 = blk["_k"]
-    dtype = v1.dtype
-    _, a1, b1 = _fold(m1, var1, blk["conv1"]["bn"]["scale"],
-                      blk["conv1"]["bn"]["bias"], dtype)
-    t = lambda a: jnp.transpose(a, (1, 2, 3, 0))
-    w1 = blk["conv1"]["conv"]["kernel"][0, 0].astype(dtype)
-    wd = blk["downsample"]["conv"]["kernel"][0, 0].astype(dtype)
-    C = w1.shape[1]
-    Cin = w1.shape[0]
-    ab1 = jnp.stack([a1, b1]).reshape(2, C, 1)
-    kk = jnp.stack([k1.astype(jnp.float32),
-                    k0.astype(jnp.float32)]).reshape(2, C, 1)
-    dxs, dxd, dW1, dWd = _p2_shift_pallas_call(
-        t(v1), t(dz1), t(xs), t(x), t(dvd), ab1, kk, w1, wd,
-        interpret=interpret, rounding=rounding,
-    )
-    back = lambda a: jnp.transpose(a, (3, 0, 1, 2))
-    return (back(dxs), back(dxd),
-            dW1.reshape(1, 1, Cin, C), dWd.reshape(1, 1, Cin, C))
-
-
-def _p2_conv1_pallas_call(v1t, dz1t, xt, ab1, kk, w1,
-                          *, interpret: bool, rounding: str = "single"):
-    """Reduced P2 for the standalone conv1x1+BN+relu unit: one pass over
-    (v1, dz1, x) -> (dx, dW1). Same transposed (H, W, C, N) view, grid and
-    rounding semantics as ``_p2_pallas_call`` without the downsample/stem
-    machinery. Used by ``make_fused_conv_bn_relu`` for the stride-1
-    blocks, where a full-block fusion would pay a same-resolution tail
-    recompute that cancels the win."""
-    H_, W_, C, Nn = v1t.shape
-    Cin = xt.shape[2]
-    # split W in half at the big geometries; odd W (the 7x7 s4 rows at
-    # 224^2 crops) runs the whole row as one block
-    j_steps = 2 if W_ % 2 == 0 else 1
-    wb = W_ // j_steps
-    nb = min(256, Nn)
-    n_steps = -(-Nn // nb)
-    grid = (j_steps, n_steps, H_)
-    f32 = jnp.float32
-    cdt = v1t.dtype
-
-    def kernel(ab1_ref, kk_ref, w1_ref, v_ref, g_ref, x_ref,
-               dx_ref, dw1_ref):
-        j, nbi, h = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-
-        @pl.when((j == 0) & (nbi == 0) & (h == 0))
-        def _():
-            dw1_ref[...] = jnp.zeros_like(dw1_ref)
-
-        a1 = ab1_ref[0]
-        k1 = kk_ref[0]
-        k0 = kk_ref[1]
-        w1v = w1_ref[...]
-        okc = jax.lax.broadcasted_iota(jnp.int32, (C, nb), 1) + nbi * nb < Nn
-        okcin = jax.lax.broadcasted_iota(jnp.int32, (Cin, nb), 1) + nbi * nb < Nn
-        zb = jnp.zeros((), cdt)
-        zf = jnp.zeros((), f32)
-        snap = _snap_bf16 if cdt == jnp.bfloat16 else (lambda t: t)
-        per_op = rounding == "per-op"
-        a1f = a1.astype(f32)
-
-        def body(i, dw1_acc):
-            v = v_ref[0, i]
-            dv1, _ = _dv1_chain(
-                v, g_ref[0, i], okc, a1f, k1, k0, snap, per_op, cdt
-            )
-            x_i = jnp.where(okcin, x_ref[0, i], zb)
-            dx_ref[0, i] = snap(
-                jax.lax.dot(w1v, dv1, preferred_element_type=f32)
-            ).astype(cdt)
-            return dw1_acc + jax.lax.dot_general(
-                x_i, dv1, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            )
-
-        dw1_ref[...] += jax.lax.fori_loop(
-            0, wb, body, jnp.zeros((Cin, C), f32)
-        )
-
-    const = lambda shape: pl.BlockSpec(shape, lambda j, nbi, h: (0,) * len(shape))
-    big = lambda cdim: pl.BlockSpec(
-        (1, wb, cdim, nb), lambda j, nbi, h: (h, j, 0, nbi)
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[const((2, C, 1)), const((2, C, 1)), const((Cin, C)),
-                  big(C), big(C), big(Cin)],
-        out_specs=[big(Cin), const((Cin, C))],
-        out_shape=[
-            jax.ShapeDtypeStruct((H_, W_, Cin, Nn), cdt),
-            jax.ShapeDtypeStruct((Cin, C), jnp.float32),
-        ],
-        interpret=interpret,
-    )(ab1, kk, w1, v1t, dz1t, xt)
-
-
-def make_fused_conv_bn_relu(
-    *,
-    use_pallas: bool = False,
-    interpret: bool = False,
-    rounding: Optional[str] = None,
-    mesh: Optional[jax.sharding.Mesh] = None,
-    data_axis: str = "data",
-):
+def make_fused_conv_bn_relu():
     """Standalone fused conv1x1 + SplitBatchNorm + relu:
-    ``fn(x, p) -> (y, (m, var))`` with a single-pass backward.
+    ``fn(x, p) -> (y, (m, var))`` with a two-pass backward.
 
     ``p`` is a ConvBN subtree ({'conv': {'kernel'}, 'bn': {'scale','bias'}}).
     This is the conv1 of the stride-1 YBlocks (models/regnet.py) — the
     rest of those blocks stays on flax autodiff (a full-block fusion would
     re-run the tail forward at the SAME resolution in the backward,
     cancelling the P2 win that made the stride-2 units profitable). The
-    backward eliminates XLA's dv1 materializations: P1 (XLA) masks the
+    backward eliminates XLA's dv1 materializations: P1 masks the
     cotangent and takes the two BN sums; P2 streams (v1, dz1, x) once for
     dx + dW."""
-    if rounding is None:
-        rounding = "per-op" if interpret else "single"
-    shard_p2 = (
-        mesh is not None and use_pallas and mesh.shape.get(data_axis, 1) > 1
-    )
 
     def fwd_only(x, p):
         v1 = _conv(x, p["conv"]["kernel"])
@@ -752,46 +252,9 @@ def make_fused_conv_bn_relu(
             S0, S1, m1, var1, p["bn"]["scale"], n1
         )
 
-        if use_pallas:
-
-            def _p2_local(v1_, dz1_, x_, w1_, a1_, k0_, k1_):
-                t = lambda a: jnp.transpose(a, (1, 2, 3, 0))
-                C = w1_.shape[-1]
-                ab1 = jnp.stack(
-                    [a1_, jnp.zeros_like(a1_)]
-                ).reshape(2, C, 1)
-                kk = jnp.stack([k1_.astype(jnp.float32),
-                                k0_.astype(jnp.float32)]).reshape(2, C, 1)
-                dx_, dW_ = _p2_conv1_pallas_call(
-                    t(v1_), t(dz1_), t(x_), ab1, kk,
-                    w1_[0, 0].astype(v1_.dtype),
-                    interpret=interpret, rounding=rounding,
-                )
-                return (jnp.transpose(dx_, (3, 0, 1, 2)),
-                        dW_.reshape(w1_.shape))
-
-            if shard_p2:
-                P = jax.sharding.PartitionSpec
-
-                def _p2_shard(*a):
-                    dx_, dW_ = _p2_local(*a)
-                    return dx_, jax.lax.psum(dW_, data_axis)
-
-                run_p2 = _shard_map(
-                    _p2_shard,
-                    mesh=mesh,
-                    in_specs=(P(data_axis),) * 3 + (P(),) * 4,
-                    out_specs=(P(data_axis), P()),
-                    check_vma=False,
-                )
-            else:
-                run_p2 = _p2_local
-
-            dx, dW1 = run_p2(v1, dz1, x, w1, a1, k0, k1)
-        else:
-            dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
-            dW1 = _conv_dw(x, dv1, w1.shape)
-            dx = _conv_dx(dv1, w1, x.shape, dtype)
+        dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
+        dW1 = _conv_dw(x, dv1, w1.shape)
+        dx = _conv_dx(dv1, w1, x.shape, dtype)
 
         return dx, {
             "conv": {"kernel": dW1},
@@ -802,21 +265,7 @@ def make_fused_conv_bn_relu(
     return fused
 
 
-# ---------------------------------------------------------------------------
-# The fused op factory
-# ---------------------------------------------------------------------------
-
-
-def make_fused_block(
-    *,
-    groups: int,
-    with_stem: bool,
-    use_pallas: bool = False,
-    interpret: bool = False,
-    rounding: Optional[str] = None,
-    mesh: Optional[jax.sharding.Mesh] = None,
-    data_axis: str = "data",
-):
+def make_fused_block(*, groups: int, with_stem: bool):
     """Build the custom-vjp fused block.
 
     Returns ``fn(x, p) -> (out, stats)`` where
@@ -830,25 +279,10 @@ def make_fused_block(
 
     The forward equals the plain flax composition bit-for-bit (same op
     sequence); the backward is the two-pass restructure described in the
-    module docstring.
-
-    ``rounding`` selects the Pallas kernel's bf16 materialization
-    semantics: 'single' matches XLA:TPU (production), 'per-op' matches
-    XLA:CPU / eager (the CPU-oracle tests). Defaults to 'per-op' when
-    ``interpret`` (the kernel is being run as a CPU oracle) else 'single'.
-
-    ``mesh``/``data_axis``: when given (and the axis is >1 devices), the
-    Pallas P2 runs under ``shard_map`` with the batch dim sharded over
-    ``data_axis`` — per-shard dx, psum'd dW/stem-BN sums. This is the DP
-    semantics GSPMD gives the jnp formulation automatically (per-shard
-    dot_general partials + cross-replica reduce); pallas_call is opaque
-    to GSPMD so the sharding must be hand-written here.
+    module docstring. Under a DP mesh GSPMD partitions the backward's
+    dot_generals into per-shard partials + cross-replica reduces — no
+    special handling needed.
     """
-    if rounding is None:
-        rounding = "per-op" if interpret else "single"
-    shard_p2 = (
-        mesh is not None and use_pallas and mesh.shape.get(data_axis, 1) > 1
-    )
 
     def fwd_only(x, p):
         vs, stem_stats, v1, s1, v2, vd = _front(x, p, groups, with_stem)
@@ -915,54 +349,13 @@ def make_fused_block(
             S0, S1, m1, var1, blk["conv1"]["bn"]["scale"], n1
         )
 
-        # P2: one pass over (v1, g1, xin|vs, dvd) -> dv1, dW1, dWd, dx.
-        # (The stem BN backward sums are always taken in XLA below, off
-        # the dzs pass fused_bwd needs for dWs anyway: the stem relu MASK
-        # must be single-sourced — a Mosaic-recomputed mask flips at
-        # sub-ulp kink points and each flip is an O(1) error in a sum.)
-        if use_pallas:
-            blk_k = {**blk, "_k": (k0, k1)}
-            stem_arg = {"_fold": (a_s, b_s)} if with_stem else None
-            xv = vs if with_stem else xin
-
-            def _p2_local(v1_, dz1_, xv_, dvd_, blk_, m1_, var1_, stem_):
-                return p2_backward(
-                    v1_, dz1_, xv_, dvd_, blk_, m1_, var1_, stem_,
-                    interpret=interpret, rounding=rounding,
-                )
-
-            if shard_p2:
-                P = jax.sharding.PartitionSpec
-
-                def _p2_shard(*a):
-                    outs = _p2_local(*a)
-                    # dx stays batch-sharded; the weight/stat sums are
-                    # per-shard partials -> cross-replica reduce, the same
-                    # contraction GSPMD emits for the jnp dot_generals.
-                    return (outs[0],) + tuple(
-                        jax.lax.psum(o, data_axis) for o in outs[1:]
-                    )
-
-                run_p2 = _shard_map(
-                    _p2_shard,
-                    mesh=mesh,
-                    in_specs=(P(data_axis),) * 4 + (P(),) * 4,
-                    out_specs=(P(data_axis),) + (P(),) * 2,
-                    # pallas_call's out_shape carries no vma; the manual
-                    # psums above establish the replication the specs claim
-                    check_vma=False,
-                )
-            else:
-                run_p2 = _p2_local
-
-            dx, dW1, dWd = run_p2(v1, dz1, xv, dvd, blk_k, m1, var1, stem_arg)
-        else:
-            dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
-            dW1 = _conv_dw(xin, dv1, w1.shape)
-            dWd = _conv_dw(xin, dvd, wd.shape, stride=2, pad=0)
-            dx = _conv_dx(dv1, w1, xin.shape, dtype) + _conv_dx(
-                dvd, wd, xin.shape, dtype, stride=2, pad=0
-            )
+        # P2: one pass over (v1, g1, xin, dvd) -> dv1, dW1, dWd, dx.
+        dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
+        dW1 = _conv_dw(xin, dv1, w1.shape)
+        dWd = _conv_dw(xin, dvd, wd.shape, stride=2, pad=0)
+        dx = _conv_dx(dv1, w1, xin.shape, dtype) + _conv_dx(
+            dvd, wd, xin.shape, dtype, stride=2, pad=0
+        )
 
         d_blk = dict(d_blk_tail)
         d_blk["conv1"] = {
@@ -1009,15 +402,7 @@ def make_fused_block(
     return fused
 
 
-def make_fused_shift_block(
-    *,
-    groups: int,
-    use_pallas: bool = False,
-    interpret: bool = False,
-    rounding: Optional[str] = None,
-    mesh: Optional[jax.sharding.Mesh] = None,
-    data_axis: str = "data",
-):
+def make_fused_shift_block(*, groups: int):
     """Fused stride-2 YBlock whose conv1 input went through a temporal
     shift: ``fn(xs, x, p) -> (out, stats)``.
 
@@ -1029,15 +414,8 @@ def make_fused_shift_block(
 
     Targets s3_b1/s4_b1 (models/regnet.py YBlock with shift, stride 2;
     ref block: model/shift.py:89-93 + timm regnety bottleneck): the same
-    P1/P2 backward restructure as ``make_fused_block``, with the P2
-    single-pass producing dxs (conv1 path) and dxd (downsample path) from
-    one read of (v1, dz1, xs, x_even, dvd).
+    P1/P2 backward restructure as ``make_fused_block``.
     """
-    if rounding is None:
-        rounding = "per-op" if interpret else "single"
-    shard_p2 = (
-        mesh is not None and use_pallas and mesh.shape.get(data_axis, 1) > 1
-    )
 
     def fwd_only(xs, x, p):
         v1, s1, v2, vd = _front_shift(xs, x, p["blk"], groups)
@@ -1083,41 +461,12 @@ def make_fused_shift_block(
             S0, S1, m1, var1, blk["conv1"]["bn"]["scale"], n1
         )
 
-        if use_pallas:
-            blk_k = {**blk, "_k": (k0, k1)}
-
-            def _p2_local(v1_, dz1_, xs_, x_, dvd_, blk_, m1_, var1_):
-                return p2_shift_backward(
-                    v1_, dz1_, xs_, x_, dvd_, blk_, m1_, var1_,
-                    interpret=interpret, rounding=rounding,
-                )
-
-            if shard_p2:
-                P = jax.sharding.PartitionSpec
-
-                def _p2_shard(*a):
-                    outs = _p2_local(*a)
-                    return outs[:2] + tuple(
-                        jax.lax.psum(o, data_axis) for o in outs[2:]
-                    )
-
-                run_p2 = _shard_map(
-                    _p2_shard,
-                    mesh=mesh,
-                    in_specs=(P(data_axis),) * 5 + (P(),) * 3,
-                    out_specs=(P(data_axis),) * 2 + (P(),) * 2,
-                    check_vma=False,
-                )
-            else:
-                run_p2 = _p2_local
-
-            dxs, dxd, dW1, dWd = run_p2(v1, dz1, xs, x, dvd, blk_k, m1, var1)
-        else:
-            dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
-            dW1 = _conv_dw(xs, dv1, w1.shape)
-            dWd = _conv_dw(x, dvd, wd.shape, stride=2, pad=0)
-            dxs = _conv_dx(dv1, w1, xs.shape, dtype)
-            dxd = _conv_dx(dvd, wd, x.shape, dtype, stride=2, pad=0)
+        # P2: dxs (conv1 path) and dxd (downsample path) + the two dWs.
+        dv1 = dz1 * a1 + (v1.astype(jnp.float32) * k1 + k0).astype(dtype)
+        dW1 = _conv_dw(xs, dv1, w1.shape)
+        dWd = _conv_dw(x, dvd, wd.shape, stride=2, pad=0)
+        dxs = _conv_dx(dv1, w1, xs.shape, dtype)
+        dxd = _conv_dx(dvd, wd, x.shape, dtype, stride=2, pad=0)
 
         d_blk = dict(d_blk_tail)
         d_blk["conv1"] = {

@@ -18,7 +18,6 @@ so the weight converter is a pure name map.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Any, List, Optional, Tuple
 
 import jax
@@ -131,19 +130,6 @@ class SEModule(nn.Module):
         return x * nn.sigmoid(s)
 
 
-def _select_pallas(mesh) -> bool:
-    """Auto Pallas selection for the fused paths: TPU-only, and on a
-    multi-device world only with an explicit DP mesh (pallas_call is
-    opaque to GSPMD; the shard_map wrapper needs the mesh).
-    FUSE_PALLAS=0/1 overrides (A/B tooling)."""
-    env = os.environ.get("FUSE_PALLAS", "auto")
-    if env != "auto":
-        return env == "1"
-    return jax.default_backend() != "cpu" and (
-        jax.device_count() == 1 or mesh is not None
-    )
-
-
 def _mix_bn_stats(old_bn, mv):
     """Momentum-mixed running stats the plain SplitBatchNorm path writes."""
     mom = SplitBatchNorm.momentum
@@ -171,7 +157,6 @@ class YBlock(nn.Module):
     shift: Optional[str] = None  # None | 'gsm' | 'gsf'
     clip_len: int = 0
     fuse: bool = False
-    mesh: Any = None
     dtype: Any = None
 
     @nn.compact
@@ -184,10 +169,7 @@ class YBlock(nn.Module):
             )(x, train)
             if (self.fuse and self.stride == 2 and train
                     and not self.is_initializing()):
-                fn = _fused_shift_fn(
-                    self.width // self.group_size,
-                    _select_pallas(self.mesh), self.mesh,
-                )
+                fn = _fused_shift_fn(self.width // self.group_size)
                 params = self.variables["params"]
                 p = {"blk": {k: params[k] for k in
                              ("conv1", "conv2", "se", "conv3", "downsample")}}
@@ -206,7 +188,7 @@ class YBlock(nn.Module):
             # full-block fusion would re-run the tail at the same
             # resolution — see kernels/fused_block.py
             # make_fused_conv_bn_relu).
-            fn = _fused_conv1_fn(_select_pallas(self.mesh), self.mesh)
+            fn = _fused_conv1_fn()
             out, mv = fn(x, self.variables["params"]["conv1"])
             self.put_variable(
                 "batch_stats", "conv1",
@@ -232,28 +214,24 @@ class YBlock(nn.Module):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_entry_fn(groups: int, with_stem: bool, use_pallas: bool, mesh):
+def _fused_entry_fn(groups: int, with_stem: bool):
     from tdeed_tpu.kernels.fused_block import make_fused_block
 
-    return make_fused_block(
-        groups=groups, with_stem=with_stem, use_pallas=use_pallas, mesh=mesh
-    )
+    return make_fused_block(groups=groups, with_stem=with_stem)
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_shift_fn(groups: int, use_pallas: bool, mesh):
+def _fused_shift_fn(groups: int):
     from tdeed_tpu.kernels.fused_block import make_fused_shift_block
 
-    return make_fused_shift_block(
-        groups=groups, use_pallas=use_pallas, mesh=mesh
-    )
+    return make_fused_shift_block(groups=groups)
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_conv1_fn(use_pallas: bool, mesh):
+def _fused_conv1_fn():
     from tdeed_tpu.kernels.fused_block import make_fused_conv_bn_relu
 
-    return make_fused_conv_bn_relu(use_pallas=use_pallas, mesh=mesh)
+    return make_fused_conv_bn_relu()
 
 
 class RegNetY(nn.Module):
@@ -273,17 +251,12 @@ class RegNetY(nn.Module):
     clip_len: int = 0
     fuse_entry: bool = False
     fuse_shift: bool = False  # fused stride-2 shift blocks (s3_b1/s4_b1)
-    mesh: Any = None  # DP mesh for the fused path's shard_map'd Pallas P2
     dtype: Any = None
 
     def _apply_fused(self, x, w: int, g: int, with_stem: bool, block: str):
         """Run [stem ->] entry block `block` via the fused custom VJP and
         write the momentum-mixed running stats the plain path would have."""
-        # Pallas single-pass backward on TPU; the jnp formulation is the
-        # CPU path (and the correctness oracle in tests/test_fused_block.py).
-        fn = _fused_entry_fn(
-            w // g, with_stem, _select_pallas(self.mesh), self.mesh
-        )
+        fn = _fused_entry_fn(w // g, with_stem)
         params = self.variables["params"]
         old = self.variables["batch_stats"]
         p = {"blk": params[block]}
@@ -330,7 +303,6 @@ class RegNetY(nn.Module):
                         shift=self.shift_mode if use_shift else None,
                         clip_len=self.clip_len,
                         fuse=self.fuse_shift,
-                        mesh=self.mesh,
                         dtype=self.dtype,
                         name=f"s{si + 1}_b{bi + 1}",
                     )(x, train)

@@ -39,7 +39,6 @@ class TDEED(nn.Module):
     checkpoint_backbone: bool = False
     fuse_entry: bool = False
     fuse_shift: bool = False
-    mesh: Any = None  # DP mesh, forwarded to the fused paths
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -63,7 +62,6 @@ class TDEED(nn.Module):
             clip_len=self.clip_len,
             fuse_entry=self.fuse_entry,
             fuse_shift=self.fuse_shift,
-            mesh=self.mesh,
             dtype=self.dtype,
             name="features",
         )
@@ -108,9 +106,8 @@ class TDEED(nn.Module):
         return out
 
 
-def build_model(cfg, two_heads=None, mesh=None) -> TDEED:
-    """Construct a TDEED module from a TDEEDConfig. ``mesh``: the DP mesh,
-    needed only so the fused entry path can shard_map its Pallas backward."""
+def build_model(cfg, two_heads=None) -> TDEED:
+    """Construct a TDEED module from a TDEEDConfig."""
     return TDEED(
         num_classes=cfg.num_classes,
         clip_len=cfg.clip_len,
@@ -123,6 +120,5 @@ def build_model(cfg, two_heads=None, mesh=None) -> TDEED:
         checkpoint_backbone=cfg.checkpoint_backbone,
         fuse_entry=cfg.fuse_entry,
         fuse_shift=getattr(cfg, "fuse_shift", False),
-        mesh=mesh,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )

@@ -5,7 +5,9 @@ production modules — stem ConvBN + stride-2 YBlock (models/regnet.py) —
 in forward values, batch-stat updates, and gradients w.r.t. every
 parameter and the input, in both fp32 and bf16. The backward is a
 hand-derived restructure (BN-through-stats included), so this is the
-ground-truth gate for the math before any Pallas lowering.
+ground-truth gate for the math. (The single-pass Pallas P2 lowering this
+suite once also gated was measured NEGATIVE on device and pruned —
+see kernels/fused_block.py module docstring and docs/DESIGN.md.)
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ class PlainStemBlock(nn.Module):
         return x
 
 
-def _setup(dtype, with_stem, use_pallas=False):
+def _setup(dtype, with_stem):
     rng = np.random.default_rng(0)
     if with_stem:
         x = jnp.asarray(rng.normal(size=(N, H, H, 3)), dtype or jnp.float32)
@@ -57,10 +59,7 @@ def _setup(dtype, with_stem, use_pallas=False):
         lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
         variables["params"],
     )
-    fused = make_fused_block(
-        groups=BLK_W // GROUP_SIZE, with_stem=with_stem,
-        use_pallas=use_pallas, interpret=use_pallas,
-    )
+    fused = make_fused_block(groups=BLK_W // GROUP_SIZE, with_stem=with_stem)
     fused_p = dict(params)
     if with_stem:
         fused_p = {"stem": params["stem"], "blk": params["blk"]}
@@ -112,11 +111,10 @@ def test_forward_and_stats_match(dtype, with_stem):
         )
 
 
-@pytest.mark.parametrize("use_pallas", [False, True])
 @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
 @pytest.mark.parametrize("with_stem", [True, False])
-def test_gradients_match(dtype, with_stem, use_pallas):
-    model, variables, params, fused, fused_p, x = _setup(dtype, with_stem, use_pallas)
+def test_gradients_match(dtype, with_stem):
+    model, variables, params, fused, fused_p, x = _setup(dtype, with_stem)
     rng = np.random.default_rng(7)
 
     def probe(out):
@@ -225,58 +223,6 @@ def test_regnet_fuse_entry_equivalence(dtype):
     assert err < tols["rtol"] * 5 + 1e-6, f"input grad rel err {err:.3e}"
 
 
-@pytest.mark.parametrize("with_stem", [True, False])
-def test_pallas_dp_shard_map(with_stem):
-    """Pallas P2 under shard_map on an 8-device mesh: batch-sharded dx,
-    psum'd dW/stem-BN sums must match the single-device jnp formulation
-    (which GSPMD partitions the same way automatically)."""
-    if jax.device_count() < 8:
-        pytest.skip("needs 8 devices")
-    from tdeed_tpu.parallel.mesh import batch_sharding, make_mesh
-
-    mesh = make_mesh(8)
-    n = 8
-    rng = np.random.default_rng(3)
-    cin = 3 if with_stem else STEM_W
-    x = jnp.asarray(rng.normal(size=(n, H, H, cin)), jnp.float32)
-    model = PlainStemBlock(dtype=None, with_stem=with_stem)
-    variables = model.init(jax.random.PRNGKey(1), x, False)
-    params = variables["params"]
-    fp = (
-        {"stem": params["stem"], "blk": params["blk"]}
-        if with_stem
-        else {"blk": params["blk"]}
-    )
-    groups = BLK_W // GROUP_SIZE
-    ref_fn = make_fused_block(groups=groups, with_stem=with_stem)
-    dp_fn = make_fused_block(
-        groups=groups, with_stem=with_stem, use_pallas=True, interpret=True,
-        mesh=mesh,
-    )
-    w = jnp.asarray(rng.normal(size=(n, H // (4 if with_stem else 2),
-                                     H // (4 if with_stem else 2), BLK_W)),
-                    jnp.float32)
-
-    def make_loss(fn):
-        return lambda p, x_: jnp.sum(fn(x_, p)[0].astype(jnp.float32) * w)
-
-    gp_ref, gx_ref = jax.grad(make_loss(ref_fn), argnums=(0, 1))(fp, x)
-    x_sh = jax.device_put(x, batch_sharding(mesh))
-    gp_dp, gx_dp = jax.jit(jax.grad(make_loss(dp_fn), argnums=(0, 1)))(fp, x_sh)
-
-    flat_ref = jax.tree_util.tree_flatten_with_path(gp_ref)[0]
-    flat_dp = dict(jax.tree_util.tree_flatten_with_path(gp_dp)[0])
-    for path, leaf in flat_ref:
-        ref = np.asarray(leaf, np.float32)
-        got = np.asarray(flat_dp[path], np.float32)
-        den = max(1e-3, float(np.abs(ref).max()))
-        err = float(np.abs(got - ref).max()) / den
-        assert err < 1e-4, f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
-    np.testing.assert_allclose(
-        np.asarray(gx_dp, np.float32), np.asarray(gx_ref, np.float32),
-        rtol=1e-4, atol=1e-5,
-    )
-
 
 @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
 def test_shift_block_fused_vs_plain(dtype):
@@ -346,62 +292,6 @@ def test_shift_block_fused_vs_plain(dtype):
     )
 
 
-@pytest.mark.parametrize("hw,width", [
-    (H, BLK_W),
-    (14, BLK_W),  # wb odd (W = 2 mod 4): s4_b1's rows at 224^2 crops —
-    # regression for the global-column downsample gate / full-row dvd block
-    (H, 16),      # Cin != C (production s3_b1 is 56 -> 152)
-])
-@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
-def test_shift_unit_pallas_matches_jnp(dtype, hw, width):
-    """make_fused_shift_block Pallas P2 (interpret) vs the jnp formulation:
-    gradients w.r.t. xs, x, and every parameter."""
-    from tdeed_tpu.kernels.fused_block import make_fused_shift_block
-
-    n = 8
-    rng = np.random.default_rng(13)
-    xs = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), dtype or jnp.float32)
-    x = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), dtype or jnp.float32)
-    donor = YBlock(
-        width=width, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
-        dtype=dtype,
-    )
-    params = donor.init(jax.random.PRNGKey(3), np.asarray(x), False)["params"]
-    p = {"blk": {k: params[k]
-                 for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
-    groups = width // GROUP_SIZE
-    ref_fn = make_fused_shift_block(groups=groups)
-    pls_fn = make_fused_shift_block(groups=groups, use_pallas=True, interpret=True)
-    w = jnp.asarray(rng.normal(size=(n, hw // 2, hw // 2, width)), jnp.float32)
-
-    def loss(fn):
-        return lambda xs_, x_, p_: jnp.sum(
-            fn(xs_, x_, p_)[0].astype(jnp.float32) * w
-        )
-
-    g_ref = jax.grad(loss(ref_fn), argnums=(0, 1, 2))(xs, x, p)
-    g_pls = jax.grad(loss(pls_fn), argnums=(0, 1, 2))(xs, x, p)
-    tols = _tols(dtype)
-    for name, ref, got in (
-        ("d_xs", g_ref[0], g_pls[0]),
-        ("d_x", g_ref[1], g_pls[1]),
-    ):
-        np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(ref, np.float32),
-            err_msg=name, **tols,
-        )
-    flat_r = jax.tree_util.tree_flatten_with_path(g_ref[2])[0]
-    flat_g = dict(jax.tree_util.tree_flatten_with_path(g_pls[2])[0])
-    for path, leaf in flat_r:
-        ref = np.asarray(leaf, np.float32)
-        got = np.asarray(flat_g[path], np.float32)
-        den = max(1e-3, float(np.abs(ref).max()))
-        err = float(np.abs(got - ref).max()) / den
-        assert err < tols["rtol"] * 5 + 1e-6, (
-            f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
-        )
-
-
 @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
 def test_stride1_block_fused_conv1_vs_plain(dtype):
     """Stride-1 shift YBlock with fuse=True (conv1-unit fusion, jnp path on
@@ -466,67 +356,6 @@ def test_stride1_block_fused_conv1_vs_plain(dtype):
         np.asarray(gx_f, np.float32), np.asarray(gx_p, np.float32), **tols
     )
 
-
-@pytest.mark.parametrize("hw", [H, 7])  # 7: the odd s4 rows at 224^2 crops
-@pytest.mark.parametrize("dp", [False, True])
-@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
-def test_conv1_unit_pallas_matches_jnp(dtype, dp, hw):
-    """make_fused_conv_bn_relu Pallas P2 (interpret) vs the jnp
-    formulation; dp=True additionally runs it under shard_map on the
-    8-device mesh (fp32 only)."""
-    from tdeed_tpu.kernels.fused_block import make_fused_conv_bn_relu
-
-    if dp:
-        if dtype is not None or hw != H:
-            pytest.skip("DP comparison is fp32/even-geometry only")
-        if jax.device_count() < 8:
-            pytest.skip("needs 8 devices")
-    from tdeed_tpu.parallel.mesh import batch_sharding, make_mesh
-
-    n = 8
-    rng = np.random.default_rng(23)
-    x = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), dtype or jnp.float32)
-    donor = nn.Conv(BLK_W, (1, 1), use_bias=False)
-    kernel = donor.init(jax.random.PRNGKey(5), x)["params"]["kernel"]
-    p = {
-        "conv": {"kernel": jnp.asarray(kernel, jnp.float32)},
-        "bn": {
-            "scale": 1.0 + 0.1 * jnp.arange(BLK_W, dtype=jnp.float32) / BLK_W,
-            "bias": 0.05 * jnp.arange(BLK_W, dtype=jnp.float32) / BLK_W,
-        },
-    }
-    mesh = make_mesh(8) if dp else None
-    ref_fn = make_fused_conv_bn_relu()
-    pls_fn = make_fused_conv_bn_relu(
-        use_pallas=True, interpret=True, mesh=mesh
-    )
-    w = jnp.asarray(rng.normal(size=(n, hw, hw, BLK_W)), jnp.float32)
-
-    def loss(fn):
-        return lambda x_, p_: jnp.sum(fn(x_, p_)[0].astype(jnp.float32) * w)
-
-    g_ref = jax.grad(loss(ref_fn), argnums=(0, 1))(x, p)
-    if dp:
-        x_in = jax.device_put(x, batch_sharding(mesh))
-        g_pls = jax.jit(jax.grad(loss(pls_fn), argnums=(0, 1)))(x_in, p)
-        tols = dict(rtol=1e-4, atol=1e-5)
-    else:
-        g_pls = jax.grad(loss(pls_fn), argnums=(0, 1))(x, p)
-        tols = _tols(dtype)
-    np.testing.assert_allclose(
-        np.asarray(g_pls[0], np.float32), np.asarray(g_ref[0], np.float32),
-        err_msg="d_x", **tols,
-    )
-    flat_r = jax.tree_util.tree_flatten_with_path(g_ref[1])[0]
-    flat_g = dict(jax.tree_util.tree_flatten_with_path(g_pls[1])[0])
-    for path, leaf in flat_r:
-        ref = np.asarray(leaf, np.float32)
-        got = np.asarray(flat_g[path], np.float32)
-        den = max(1e-3, float(np.abs(ref).max()))
-        err = float(np.abs(got - ref).max()) / den
-        assert err < tols["rtol"] * 5 + 1e-6, (
-            f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
-        )
 
 
 def test_train_step_fused_vs_plain():
@@ -601,136 +430,6 @@ def test_train_step_fused_vs_plain():
         )
 
 
-def test_shift_unit_pallas_ragged_n_tail():
-    """N > 256 with a ragged last n-block (production N = B*T = 800 is
-    3x256+32): the okc/okcin lane masks must zero the tail lanes."""
-    from tdeed_tpu.kernels.fused_block import make_fused_shift_block
-
-    n, hw = 260, 8  # 2 n-steps, tail of 4
-    rng = np.random.default_rng(31)
-    xs = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), jnp.float32)
-    x = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), jnp.float32)
-    donor = YBlock(
-        width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
-    )
-    params = donor.init(jax.random.PRNGKey(3), np.asarray(x), False)["params"]
-    p = {"blk": {k: params[k]
-                 for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
-    groups = BLK_W // GROUP_SIZE
-    w = jnp.asarray(rng.normal(size=(n, hw // 2, hw // 2, BLK_W)), jnp.float32)
-    grads = {}
-    for up in (False, True):
-        fn = make_fused_shift_block(groups=groups, use_pallas=up, interpret=up)
-
-        def loss(xs_, x_, p_, fn=fn):
-            return jnp.sum(fn(xs_, x_, p_)[0].astype(jnp.float32) * w)
-
-        grads[up] = jax.grad(loss, argnums=(0, 1, 2))(xs, x, p)
-    flat_j = jax.tree_util.tree_flatten_with_path(grads[False])[0]
-    flat_p = dict(jax.tree_util.tree_flatten_with_path(grads[True])[0])
-    for path, leaf in flat_j:
-        np.testing.assert_allclose(
-            np.asarray(flat_p[path], np.float32), np.asarray(leaf, np.float32),
-            rtol=2e-5, atol=1e-5, err_msg=jax.tree_util.keystr(path),
-        )
 
 
-def test_entry_unit_pallas_odd_wb():
-    """Entry-unit Pallas P2 at a W = 2 mod 4 geometry (wb odd): the
-    downsample gate parity / dvd coverage regression, without a stem."""
-    hw, n = 14, 8
-    rng = np.random.default_rng(29)
-    x = jnp.asarray(rng.normal(size=(n, hw, hw, STEM_W)), jnp.float32)
-    model = PlainStemBlock(dtype=None, with_stem=False)
-    params = model.init(jax.random.PRNGKey(2), x, False)["params"]
-    p = {"blk": params["blk"]}
-    grads = {}
-    w = jnp.asarray(rng.normal(size=(n, hw // 2, hw // 2, BLK_W)), jnp.float32)
-    for up in (False, True):
-        fn = make_fused_block(
-            groups=BLK_W // GROUP_SIZE, with_stem=False,
-            use_pallas=up, interpret=up,
-        )
 
-        def loss(pp, xx, fn=fn):
-            out, _ = fn(xx, pp)
-            return jnp.sum(out.astype(jnp.float32) * w)
-
-        grads[up] = jax.grad(loss, argnums=(0, 1))(p, x)
-    flat_j = jax.tree_util.tree_flatten_with_path(grads[False])[0]
-    flat_p = dict(jax.tree_util.tree_flatten_with_path(grads[True])[0])
-    for path, leaf in flat_j:
-        np.testing.assert_allclose(
-            np.asarray(flat_p[path], np.float32), np.asarray(leaf, np.float32),
-            rtol=2e-5, atol=1e-5, err_msg=jax.tree_util.keystr(path),
-        )
-
-
-def test_shift_unit_pallas_dp_shard_map():
-    """Shift-variant Pallas P2 under shard_map on the 8-device mesh vs the
-    single-device jnp formulation (fp32)."""
-    if jax.device_count() < 8:
-        pytest.skip("needs 8 devices")
-    from tdeed_tpu.kernels.fused_block import make_fused_shift_block
-    from tdeed_tpu.parallel.mesh import batch_sharding, make_mesh
-
-    mesh = make_mesh(8)
-    n = 8
-    rng = np.random.default_rng(17)
-    xs = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), jnp.float32)
-    x = jnp.asarray(rng.normal(size=(n, H, H, STEM_W)), jnp.float32)
-    donor = YBlock(
-        width=BLK_W, in_width=STEM_W, stride=2, group_size=GROUP_SIZE,
-    )
-    params = donor.init(jax.random.PRNGKey(3), np.asarray(x), False)["params"]
-    p = {"blk": {k: params[k]
-                 for k in ("conv1", "conv2", "se", "conv3", "downsample")}}
-    groups = BLK_W // GROUP_SIZE
-    ref_fn = make_fused_shift_block(groups=groups)
-    dp_fn = make_fused_shift_block(
-        groups=groups, use_pallas=True, interpret=True, mesh=mesh
-    )
-    w = jnp.asarray(rng.normal(size=(n, H // 2, H // 2, BLK_W)), jnp.float32)
-
-    def loss(fn):
-        return lambda xs_, x_, p_: jnp.sum(
-            fn(xs_, x_, p_)[0].astype(jnp.float32) * w
-        )
-
-    g_ref = jax.grad(loss(ref_fn), argnums=(0, 1, 2))(xs, x, p)
-    sh = batch_sharding(mesh)
-    g_dp = jax.jit(jax.grad(loss(dp_fn), argnums=(0, 1, 2)))(
-        jax.device_put(xs, sh), jax.device_put(x, sh), p
-    )
-    for name, ref, got in (("d_xs", g_ref[0], g_dp[0]), ("d_x", g_ref[1], g_dp[1])):
-        np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(ref, np.float32),
-            rtol=1e-4, atol=1e-5, err_msg=name,
-        )
-    flat_r = jax.tree_util.tree_flatten_with_path(g_ref[2])[0]
-    flat_g = dict(jax.tree_util.tree_flatten_with_path(g_dp[2])[0])
-    for path, leaf in flat_r:
-        ref = np.asarray(leaf, np.float32)
-        got = np.asarray(flat_g[path], np.float32)
-        den = max(1e-3, float(np.abs(ref).max()))
-        err = float(np.abs(got - ref).max()) / den
-        assert err < 1e-4, f"{jax.tree_util.keystr(path)}: rel err {err:.3e}"
-
-
-def test_snap_bf16_matches_astype_roundtrip():
-    """The bit-twiddled RNE snap must equal f32->bf16->f32 exactly —
-    including negatives, exponent-boundary carries, zeros and ties."""
-    from tdeed_tpu.kernels.fused_block import _snap_bf16
-
-    rng = np.random.default_rng(11)
-    x = np.concatenate([
-        rng.standard_normal(4096).astype(np.float32),
-        (rng.standard_normal(4096) * 1e20).astype(np.float32),
-        (rng.standard_normal(4096) * 1e-20).astype(np.float32),
-        np.array([0.0, -0.0, 1.0, -1.0, 255.5, -255.5], np.float32),
-        # exact ties: mantissa pattern ...1|1000...0 rounds up (RNE)
-        np.float32([1.00390625, 1.01171875, -1.00390625]),
-    ])
-    got = np.asarray(jax.jit(_snap_bf16)(jnp.asarray(x)))
-    want = np.asarray(x.astype(jnp.bfloat16).astype(np.float32))
-    np.testing.assert_array_equal(got, want)

@@ -61,22 +61,17 @@ def main():
         return (time.perf_counter() - t0) / (n - 1), float(m["loss"])
 
     results = {}
-    # (name, fuse_entry, fuse_shift, FUSE_PALLAS env)
+    # (name, fuse_entry, fuse_shift) — the Pallas P2 variants were pruned
+    # after measuring NEGATIVE (docs/DESIGN.md round-4 A/B table); what
+    # remains A/Bs the jnp custom-VJP restructure and photometric gating.
     variants = [
-        ("plain", False, False, None),
-        ("photo-gated", False, False, None),
-        ("fused-jnp", True, False, "0"),
-        ("fused-pallas", True, False, "1"),
-        ("shift-pallas", False, True, "1"),
-        ("all-pallas", True, True, "1"),
-        # the production candidate if the individual levers both win
-        ("all-pallas+photo", True, True, "1"),
+        ("plain", False, False),
+        ("photo-gated", False, False),
+        ("fused-jnp", True, False),
+        ("fused-shift-jnp", False, True),
+        ("all-jnp", True, True),
     ]
-    for name, fuse, fuse_shift, pallas_env in variants:
-        if pallas_env is None:
-            os.environ.pop("FUSE_PALLAS", None)
-        else:
-            os.environ["FUSE_PALLAS"] = pallas_env
+    for name, fuse, fuse_shift in variants:
         if name.endswith("photo-gated") or name.endswith("+photo"):
             os.environ["PHOTO_GATED"] = "1"
         else:
@@ -107,8 +102,8 @@ def main():
               f"{B*T/sec:9.0f} frames/s  loss@20={last_loss:.4f}", flush=True)
 
     if "plain" in results:
-        for name in ("photo-gated", "fused-jnp", "fused-pallas",
-                     "shift-pallas", "all-pallas", "all-pallas+photo"):
+        for name in ("photo-gated", "fused-jnp", "fused-shift-jnp",
+                     "all-jnp"):
             if name in results:
                 d = (results["plain"] - results[name]) * 1e3
                 print(f"delta[{name}]: {d:+.2f} ms "

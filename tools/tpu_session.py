@@ -42,14 +42,13 @@ def main() -> None:
     with open("/tmp/tpu_ab_results.json", "w") as fp:
         json.dump({k: v * 1e3 for k, v in results.items()}, fp)
 
-    # Same claim: per-op trace of the all-pallas variant for next-rock
+    # Same claim: per-op trace of the all-jnp fused variant for next-rock
     # attribution (tools/trace_attrib.py joins it offline with the HLO
     # op_name metadata — no second claim needed).
-    print("=== all-pallas device trace ===", flush=True)
+    print("=== all-jnp fused device trace ===", flush=True)
     try:
         os.environ["FUSE_ENTRY"] = "1"
         os.environ["FUSE_SHIFT"] = "1"
-        os.environ["FUSE_PALLAS"] = "1"
         import tools.profile_trace as trace
 
         trace.main(["--steps", "3", "--logdir", "/tmp/jax_trace_fused",
@@ -67,33 +66,23 @@ def main() -> None:
     # parity-safe variant.
     print("=== winner bench ===", flush=True)
     try:
-        # name -> (FUSE_ENTRY, FUSE_SHIFT, FUSE_PALLAS, PHOTO_GATED).
-        # PHOTO_GATED defaults ON in the kernel now, so variants that were
-        # MEASURED ungated in the A/B must pin "0" explicitly — None would
-        # resolve to gated and bench a different program than the A/B ran.
+        # name -> (FUSE_ENTRY, FUSE_SHIFT, PHOTO_GATED). PHOTO_GATED
+        # defaults ON in the kernel, so variants that were MEASURED ungated
+        # in the A/B must pin "0" explicitly — popping would resolve to
+        # gated and bench a different program than the A/B ran.
         KNOBS = {
-            "plain": ("0", "0", None, "0"),
-            "photo-gated": ("0", "0", None, "1"),
-            "fused-jnp": ("1", "0", "0", "0"),
-            "fused-pallas": ("1", "0", "1", "0"),
-            "shift-pallas": ("0", "1", "1", "0"),
-            "all-pallas": ("1", "1", "1", "0"),
-            "all-pallas+photo": ("1", "1", "1", "1"),
+            "plain": ("0", "0", "0"),
+            "photo-gated": ("0", "0", "1"),
+            "fused-jnp": ("1", "0", "0"),
+            "fused-shift-jnp": ("0", "1", "0"),
+            "all-jnp": ("1", "1", "0"),
         }
-        safe = {"plain", "photo-gated", "fused-jnp"}
-        pool = {
-            k: v for k, v in results.items()
-            if parity_rc == 0 or k in safe
-        }
+        pool = dict(results)
         winner = min(pool, key=pool.get) if pool else "plain"
-        fe, fs, fp, pg = KNOBS[winner]
+        fe, fs, pg = KNOBS[winner]
         os.environ["FUSE_ENTRY"] = fe
         os.environ["FUSE_SHIFT"] = fs
-        for key, val in (("FUSE_PALLAS", fp), ("PHOTO_GATED", pg)):
-            if val is None:
-                os.environ.pop(key, None)
-            else:
-                os.environ[key] = val
+        os.environ["PHOTO_GATED"] = pg
         print(f"winner: {winner} (parity_rc={parity_rc})", flush=True)
         import bench
 
