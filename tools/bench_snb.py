@@ -17,6 +17,10 @@ differently at W=796:
   PHOTO_GATED photometric lax.cond gating (flagship winner) at SNB size.
   remat       checkpoint_backbone: full frames x clip 100 may not fit HBM
               without remat; measured, not assumed.
+  --acc       acc_grad_iter micro-batching: the optimizer batch stays
+              --batch but the graph peaks at batch/acc activations (the
+              TPU-native answer when the challenge batch exceeds one
+              chip's HBM; multi-chip DP is the other).
 
 Timing follows CLAUDE.md rules: state threads through steps (dependency
 chain), inputs cycle through distinct batches.
@@ -54,7 +58,8 @@ VARIANTS = {
 }
 
 
-def build_step(cfg_kw, tx, remat: bool):
+def build_step(cfg_kw, tx, remat: bool, acc: int = 1,
+               pallas_augment=None):
     import jax
 
     from tdeed_tpu.config import TDEEDConfig
@@ -72,8 +77,10 @@ def build_step(cfg_kw, tx, remat: bool):
             num_classes_bg=cfg.num_classes_bg,
             mixup=True,
             radi_displacement=RADI_DISPLACEMENT,
+            acc_grad_iter=acc,
             two_heads=two_heads,
             pretrain_classes_bg=PRETRAIN_CLASSES + 1,
+            pallas_augment=pallas_augment,
         ),
         donate_argnums=(0,),
     )
@@ -89,6 +96,11 @@ def main(argv=None) -> dict:
     p.add_argument("--clip-len", type=int, default=CLIP_LEN)
     p.add_argument("--height", type=int, default=HEIGHT)
     p.add_argument("--width", type=int, default=WIDTH)
+    p.add_argument("--acc", type=int, default=1,
+                   help="acc_grad_iter (micro-batch = batch/acc)")
+    p.add_argument("--no-pallas-augment", action="store_true",
+                   help="force the XLA augment chain (isolates Mosaic "
+                        "compile failures at non-flagship geometries)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -138,7 +150,8 @@ def main(argv=None) -> dict:
 
     results: dict = {
         "geometry": f"{w}x{h}", "batch": b, "clip_len": t,
-        "backend": jax.default_backend(),
+        "acc_grad_iter": args.acc, "backend": jax.default_backend(),
+        "pallas_augment": not args.no_pallas_augment,
     }
     remat_used = None
 
@@ -162,7 +175,10 @@ def main(argv=None) -> dict:
             tries = [remat_used] if remat_used is not None else [False, True]
             err = None
             for remat in tries:
-                cfg, model, step = build_step(cfg_kw, tx, remat)
+                cfg, model, step = build_step(
+                    cfg_kw, tx, remat, args.acc,
+                    pallas_augment=False if args.no_pallas_augment else None,
+                )
                 try:
                     state = TrainState.create(
                         jax.tree.map(jnp.asarray, variables["params"]),
@@ -179,8 +195,8 @@ def main(argv=None) -> dict:
                     break
                 except Exception as e:  # OOM on the plain graph -> remat
                     err = e
-                    print(f"[{name}] remat={remat}: {type(e).__name__}: "
-                          f"{str(e)[:200]}", flush=True)
+                    print(f"[{name}] remat={remat} acc={args.acc}: "
+                          f"{type(e).__name__}: {str(e)[:1500]}", flush=True)
             if err is not None:
                 results[name] = {"error": f"{type(err).__name__}"}
                 continue
