@@ -181,6 +181,29 @@ def main() -> dict:
     jax.block_until_ready(probs)
     infer_fps = pb * CLIP_LEN * infer_iters / (time.perf_counter() - t0)
 
+    # --- host input pipeline (JPEG decode -> BatchLoader frames/s) ------
+    # The train/infer numbers above are device-path (synthetic inputs, by
+    # design — BASELINE.md's definition); this catches input-side
+    # regressions they cannot. Small synthetic JPEG tree, production
+    # ClipSampler+BatchLoader path; the full study (per-backend decoders,
+    # mixup stream, SNB geometry, core scaling) is tools/bench_input.py.
+    input_fps = None
+    try:
+        import tempfile
+
+        from tools.bench_input import bench_pipeline, synth_tree
+
+        with tempfile.TemporaryDirectory() as root:
+            vdir = synth_tree(root, 120, FRAME_SIZE, FRAME_SIZE)
+            input_fps = bench_pipeline(
+                vdir, 120, CLIP_LEN, BATCH_PER_CHIP, 3, mixup=False
+            )
+    except Exception as e:
+        import sys
+
+        print(f"input-pipeline bench skipped: {type(e).__name__}",
+              file=sys.stderr)
+
     payload = {
         "metric": "train_frames_per_sec_per_chip",
         "value": round(fps_per_chip, 1),
@@ -188,6 +211,8 @@ def main() -> dict:
         "vs_baseline": round(fps_per_chip / A100_BASELINE_FPS, 3),
         "infer_frames_per_sec_per_chip": round(infer_fps, 1),
     }
+    if input_fps is not None:
+        payload["input_frames_per_sec"] = round(input_fps, 1)
     print(json.dumps(payload))
     return payload
 

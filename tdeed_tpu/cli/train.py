@@ -169,9 +169,24 @@ def main(argv=None) -> None:
     import jax
 
     if args.distributed:
-        # Multi-host bootstrap: coordinator address / process count come
-        # from the environment the launcher sets (TPU pods autodetect).
-        jax.distributed.initialize()
+        # Multi-host bootstrap: on TPU pods jax.distributed autodetects
+        # everything; generic launchers (SSH scripts, CPU tests) pass the
+        # topology via env — JAX_COORDINATOR_ADDRESS is read natively by
+        # jax, JAX_NUM_PROCESSES / JAX_PROCESS_ID are forwarded here.
+        jax.distributed.initialize(
+            num_processes=(int(os.environ["JAX_NUM_PROCESSES"])
+                           if "JAX_NUM_PROCESSES" in os.environ else None),
+            process_id=(int(os.environ["JAX_PROCESS_ID"])
+                        if "JAX_PROCESS_ID" in os.environ else None),
+        )
+        # Establish the collective channels NOW, while the processes are
+        # in lockstep — the first train-step collective otherwise fires
+        # after a full-model compile whose wall-time can skew between
+        # hosts past the transport's rendezvous timeout (30 s for
+        # XLA:CPU gloo). See parallel.mesh.startup_barrier.
+        from tdeed_tpu.parallel.mesh import startup_barrier
+
+        startup_barrier("tdeed:train:init")
 
     import jax.numpy as jnp
 
@@ -221,7 +236,7 @@ def main(argv=None) -> None:
         mesh = make_mesh(devices=jax.devices())
     else:
         mesh = make_mesh(n_local) if n_local > 1 else None
-    model = build_model(cfg, two_heads=two_heads, mesh=mesh)
+    model = build_model(cfg, two_heads=two_heads)
 
     crop = cfg.crop_dim
     rng = jax.random.PRNGKey(args.seed)

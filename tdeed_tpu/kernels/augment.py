@@ -309,9 +309,17 @@ def photometric_planar(
     """Fused /255 + photometric + standardize. Returns (B, T, 3, H, W) bf16."""
     bsz, t, c, h, w = frames_planar.shape
     assert c == 3
+    # Scoped-VMEM budget scales with the frame: the chain keeps ~20 fp32
+    # (H, W) temporaries live (hue round-trip + clips), ~90 B/pixel
+    # measured at 448x796 (31.4 MB — past Mosaic's 16 MB default, which is
+    # how the SNB geometry surfaced this as a compile OOM while 224/256
+    # crops fit). 160 B/px headroom, floored at the default, capped under
+    # the v5e's 128 MB physical VMEM.
+    vmem_limit = max(16 * 2**20, min(160 * h * w, 110 * 2**20))
     return pl.pallas_call(
         functools.partial(_kernel, gated=gated, flip_mode=flip_mode),
         grid=(bsz, t),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         in_specs=[
             pl.BlockSpec(
                 (bsz, N_PARAMS), lambda i, j: (0, 0), memory_space=pltpu.SMEM
@@ -336,8 +344,12 @@ def train_preprocess_pallas(
     """Drop-in replacement for augment.train_preprocess using the fused
     kernel. frames: (B, T, H, W, 3) float-or-uint8 0..255. Returns
     standardized bf16 (B, T, crop, crop, 3). The lax.cond-gated chain is
-    the default (device A/B: -5.6 ms/step, bit-identical loss); env
-    PHOTO_GATED=0 restores the compute-always+select chain. Env FLIP_MODE
+    the default up to 2^18 px/frame (device A/B at 224²: -5.6 ms/step,
+    bit-identical loss) and the compute-always+select chain beyond it
+    (device A/B at SNB's 448x796: gating is +5.3 ms — the cond branches
+    break fusion for more than the skipped hue/blur saves at 7x the
+    pixels; loss still bit-identical). Env PHOTO_GATED=0/1 overrides
+    either way. Env FLIP_MODE
     in {matmul, cond, xla} selects the hflip schedule (see _kernel; all
     three are bit-identical — 'matmul' is the measured flagship default,
     'cond'/'xla' avoid the always-on W x W exchange matmul that grows
@@ -368,9 +380,13 @@ def train_preprocess_pallas(
     # old standalone XLA reverse+select cost ~2.9 ms/step, trace-measured)
     if flip_mode != "xla":
         params = params.at[:, 14].set(flip)
+    gated_env = os.environ.get("PHOTO_GATED")
+    if gated_env is None:  # geometry-aware default (measured crossover)
+        gated = planar.shape[3] * planar.shape[4] <= 2**18
+    else:
+        gated = gated_env == "1"
     out = photometric_planar(
-        planar, params, interpret=interpret,
-        gated=os.environ.get("PHOTO_GATED", "1") == "1",
+        planar, params, interpret=interpret, gated=gated,
         flip_mode=flip_mode,
     )
     return jnp.transpose(out, (0, 1, 3, 4, 2))  # (B, T, H, W, 3) bf16

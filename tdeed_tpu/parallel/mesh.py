@@ -117,3 +117,24 @@ def form_global_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") -> 
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
         local_batch,
     )
+
+
+def startup_barrier(tag: str = "tdeed:startup") -> None:
+    """Establish the cross-process collective channels while every process
+    is still in lockstep (call right after ``jax.distributed.initialize``).
+
+    The first collective of a training run otherwise executes only after
+    the full train-step compile, and compile wall-time can skew between
+    processes by more than the transport's rendezvous window (XLA:CPU's
+    Gloo key exchange has a hard 30 s timeout; the reference's NCCL
+    equivalent is the NCCL_COMM_ID bootstrap, ref: torch.distributed
+    init in /root/reference/train_tdeed.py's single-process design has no
+    counterpart). Collective contexts are cached per device clique, so one
+    tiny psum over every global device here lets all later collectives
+    reuse the established channels regardless of skew. No-op with a single
+    process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
