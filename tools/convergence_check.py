@@ -204,6 +204,13 @@ def main(argv=None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--out", default=None)
+    p.add_argument("--perturb", type=float, default=0.0,
+                   help="relative N(0,1) noise applied to the jax init; "
+                        "measures how much rounding-level chaos ALONE moves "
+                        "the terminal metrics (the scale against which any "
+                        "torch-vs-jax terminal difference must be judged)")
+    p.add_argument("--skip-torch", action="store_true",
+                   help="jax side only (for --perturb chaos probes)")
     args = p.parse_args(argv)
 
     import torch
@@ -250,6 +257,14 @@ def main(argv=None) -> dict:
         lambda x: jnp.asarray(x, jnp.float32),
         flax_params_from_tdeed_oracle(oracle, depths),
     )
+    if args.perturb:
+        leaves, treedef = jax.tree.flatten(params0)
+        keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+        leaves = [
+            x * (1.0 + args.perturb * jax.random.normal(k, x.shape, x.dtype))
+            for x, k in zip(leaves, keys)
+        ]
+        params0 = jax.tree.unflatten(treedef, leaves)
 
     warmup = min(2 * STEPS_PER_EPOCH, args.steps // 4)
     cosine = max(args.steps - warmup, 1)
@@ -262,8 +277,11 @@ def main(argv=None) -> dict:
         val_batches = batches[:2]
 
         t0 = time.time()
-        tl, tvl = torch_run(batches, val_batches, args.steps, oracle,
-                            warmup, cosine)
+        if args.skip_torch:
+            tl, tvl = None, None
+        else:
+            tl, tvl = torch_run(batches, val_batches, args.steps, oracle,
+                                warmup, cosine)
         t_torch = time.time() - t0
         t0 = time.time()
         jl, jvl, state = jax_run(batches, val_batches, args.steps, model,
@@ -295,31 +313,39 @@ def main(argv=None) -> dict:
 
         maps_j, tols = evaluate(jax_pfn, windows, "TEST", classes,
                                 printed=False, test=True, augment=False)
-        maps_t, _ = evaluate(torch_predict_fn(oracle), windows, "TEST",
-                             classes, printed=False, test=True, augment=False)
+        if args.skip_torch:
+            maps_t = None
+        else:
+            maps_t, _ = evaluate(torch_predict_fn(oracle), windows, "TEST",
+                                 classes, printed=False, test=True,
+                                 augment=False)
 
     def tail(xs, n=20):
         return float(np.mean(xs[-n:]))
 
     res = {
         "steps": args.steps,
-        "loss0_torch": tl[0],
+        "perturb": args.perturb,
         "loss0_jax": jl[0],
-        "loss0_rel": abs(tl[0] - jl[0]) / tl[0],
-        "tail20_torch": tail(tl),
         "tail20_jax": tail(jl),
-        "best_epoch_torch": int(np.argmin(tvl)),
         "best_epoch_jax": int(np.argmin(jvl)),
-        "val_losses_torch": [round(v, 4) for v in tvl],
         "val_losses_jax": [round(v, 4) for v in jvl],
-        "map_torch": round(float(np.mean(maps_t)), 4),
         "map_jax": round(float(np.mean(maps_j)), 4),
-        "maps_per_tol_torch": [round(float(m), 4) for m in maps_t],
         "maps_per_tol_jax": [round(float(m), 4) for m in maps_j],
         "tolerances": list(tols),
-        "sec_torch": round(t_torch, 1),
         "sec_jax": round(t_jax, 1),
     }
+    if not args.skip_torch:
+        res.update({
+            "loss0_torch": tl[0],
+            "loss0_rel": abs(tl[0] - jl[0]) / tl[0],
+            "tail20_torch": tail(tl),
+            "best_epoch_torch": int(np.argmin(tvl)),
+            "val_losses_torch": [round(v, 4) for v in tvl],
+            "map_torch": round(float(np.mean(maps_t)), 4),
+            "maps_per_tol_torch": [round(float(m), 4) for m in maps_t],
+            "sec_torch": round(t_torch, 1),
+        })
     print(json.dumps(res))
     if args.out:
         with open(args.out, "w") as fp:
