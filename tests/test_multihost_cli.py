@@ -20,18 +20,26 @@ the two topologies compile IDENTICAL HLO except for
 ``outer_dimension_partitions`` — XLA:CPU's intra-op parallel task
 assignment splits reduction loops by the client's threading (2 local
 devices -> split 2, 1 device/process -> unsplit), changing accumulation
-order at the ULP level. Probed step-by-step: the step-0 forward loss is
+order at the ULP level. Probed step-by-step
+(tools/probe_multihost_bitparity.py): the step-0 forward loss is
 BIT-IDENTICAL (data sharding, stitching, in-step augment RNG and the
 fp32 BN psums all agree exactly); the step-0 AdamW update then differs
 by +-1 LR quantum wherever near-zero grads meet Adam's sign
-normalization, and bf16 training amplifies that chaotically (the same
-conditioning measured for the torch oracle, f32-vs-f64 19% by step 2).
-This is a host-threading artifact of the CPU test backend — TPU
-executables are not repartitioned by host thread count. The test
-therefore trains with learning_rate=1e-6 so a real WIRING bug (wrong
-rows, wrong RNG, missed collective — all O(10%) effects) still trips
-the tight tolerances while the ULP-partitioning noise cannot
-(drift <= steps * 2 * lr per weight).
+normalization. This is a host-threading artifact of the CPU test
+backend — TPU executables are not repartitioned by host thread count.
+
+The test therefore (a) trains with learning_rate=1e-6 so a real WIRING
+bug (wrong rows, wrong RNG, missed collective — all O(10%) effects)
+still trips the tight tolerances while the quantum drift cannot
+(drift <= steps * 2 * lr per weight, linear in fp32), and (b) pins
+``dtype=float32`` for the compute path: under the production bf16
+compute dtype the +-2e-6 weight quanta land on bf16 rounding boundaries
+(~4e-3 relative ULP) and amplify step-function-like — MEASURED
+2026-08-20: epoch-mean train loss drifted 1.77% relative at lr=1e-6,
+3,500x beyond the linear bound. fp32 keeps the wiring comparison exact
+where it must be exact; the bf16 step itself is parity-covered
+elsewhere (tests/test_multihost.py, tests/test_train_step_oracle.py),
+and the bf16-vs-topology interaction exists only on this CPU backend.
 """
 
 import json
