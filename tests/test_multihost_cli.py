@@ -90,7 +90,7 @@ def test_distributed_cli_matches_single_process(tmp_path):
     data_root = fx["data_root"]
 
     kw = dict(clip_len=8, crop_dim=16, num_epochs=2, batch_size=2,
-              epoch_num_frames=64, learning_rate=1e-6)
+              epoch_num_frames=64, learning_rate=1e-6, dtype="float32")
     cfg_root = write_tiny_config(root, fx, model="FineDiving_mhstore",
                                  store_mode="store", **kw)
     single_dir = os.path.join(root, "ckpt_single")
