@@ -187,7 +187,7 @@ def main() -> dict:
     # regressions they cannot. Small synthetic JPEG tree, production
     # ClipSampler+BatchLoader path; the full study (per-backend decoders,
     # mixup stream, SNB geometry, core scaling) is tools/bench_input.py.
-    input_fps = None
+    input_fps = input_fps_cached = None
     try:
         import tempfile
 
@@ -197,6 +197,12 @@ def main() -> dict:
             vdir = synth_tree(root, 120, FRAME_SIZE, FRAME_SIZE)
             input_fps = bench_pipeline(
                 vdir, 120, CLIP_LEN, BATCH_PER_CHIP, 3, mixup=False
+            )
+            # Production default path: decode-ahead FrameCache
+            # (cfg.decode_cache_mb, on by default in the train CLI).
+            input_fps_cached = bench_pipeline(
+                vdir, 120, CLIP_LEN, BATCH_PER_CHIP, 3, mixup=False,
+                cache_mb=1024,
             )
     except Exception as e:
         import sys
@@ -213,6 +219,8 @@ def main() -> dict:
     }
     if input_fps is not None:
         payload["input_frames_per_sec"] = round(input_fps, 1)
+    if input_fps_cached is not None:
+        payload["input_frames_per_sec_cached"] = round(input_fps_cached, 1)
     print(json.dumps(payload))
     return payload
 

@@ -94,6 +94,8 @@ def main(argv=None) -> None:
             _, probs = predict_step(params, batch_stats, frames, hflip)
             return probs
 
+    from tdeed_tpu.data.loader import FrameCache
+
     data = VideoWindows(
         cfg.dataset,
         os.path.join(args.data_root, cfg.dataset, f"{args.split}.json"),
@@ -102,6 +104,8 @@ def main(argv=None) -> None:
         overlap_len=spec.eval_overlap_len(cfg.clip_len),
         stride=spec.eval_stride,
         labels_root=labels_root,
+        cache=(FrameCache(cfg.decode_cache_mb << 20)
+               if cfg.decode_cache_mb > 0 else None),
     )
     pred_file = os.path.join(ckpt.save_dir, f"pred-{args.split}")
     evaluate(

@@ -72,7 +72,7 @@ def labels_root_for(data_root: str, dataset: str) -> Optional[str]:
     return None
 
 
-def build_samplers(cfg, args, classes, classes2=None):
+def build_samplers(cfg, args, classes, classes2=None, cache=None):
     """Store-or-load the clip plans and build train/val samplers
     (ref: dataset/datasets.py:19-96). In store mode this function stores
     plans for train+val (and the pretrain dataset when set) and exits, like
@@ -139,6 +139,7 @@ def build_samplers(cfg, args, classes, classes2=None):
             mixup,
             decoder=decoder,
             dataset_tag=tag,
+            cache=cache,
         )
 
     tr, va = split_names
@@ -222,8 +223,17 @@ def main(argv=None) -> None:
         # (C1+1, C2+1) incl. background slots (ref: model/model.py:169-172)
         two_heads = (cfg.num_classes + 1, cfg.pretrain.num_classes + 1)
 
+    # One decoded-frame LRU per host process, shared by the train/val
+    # samplers AND the eval windows (same decoder backend; plans and eval
+    # windows overlap heavily, so hot frames repeat — docs/DESIGN.md).
+    from tdeed_tpu.data.loader import FrameCache
+
+    frame_cache = (
+        FrameCache(cfg.decode_cache_mb << 20)
+        if cfg.decode_cache_mb > 0 else None
+    )
     train_sampler, val_sampler, labels_root = build_samplers(
-        cfg, args, classes, classes2
+        cfg, args, classes, classes2, cache=frame_cache
     )
 
     # --- model / optimizer / mesh --------------------------------------
@@ -378,6 +388,7 @@ def main(argv=None) -> None:
             overlap_len=0,
             stride=spec.eval_stride,
             labels_root=labels_root,
+            cache=frame_cache,
         )
 
     ckpt = CheckpointManager(cfg.save_dir or os.path.join("checkpoints", cfg.model))
@@ -598,6 +609,7 @@ def main(argv=None) -> None:
             overlap_len=spec.eval_overlap_len(cfg.clip_len),
             stride=spec.eval_stride,
             labels_root=labels_root,
+            cache=frame_cache,
         )
         pred_file = os.path.join(ckpt.save_dir, f"pred-{split}")
         maps, tols = evaluate(

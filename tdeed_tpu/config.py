@@ -104,6 +104,11 @@ class TDEEDConfig:
     fuse_shift: bool = False  # fused stride-2 shift blocks (s3_b1/s4_b1)
     pallas_augment: Optional[bool] = None  # fused photometric kernel (None=auto)
     decoder: str = "auto"  # 'auto' | 'native' | 'pil' | 'cv2'
+    # Decoded-frame LRU budget (MiB/host, 0 = off). Clips resample from a
+    # FIXED stored plan with ~90% window overlap (ref: dataset/frame.py:
+    # 116,210-241), so hot frames repeat; caching decoded pixels cuts the
+    # host decode-core budget by the hit rate (docs/DESIGN.md).
+    decode_cache_mb: int = 1024
 
     def __post_init__(self) -> None:
         if isinstance(self.crop_dim, int) and self.crop_dim <= 0:

@@ -87,6 +87,7 @@ def load_clip(
     stride: int,
     decoder: Callable[[str], np.ndarray],
     pad: bool = True,
+    cache=None,
 ) -> np.ndarray:
     """Decode a stored clip record into (T, H, W, 3) uint8.
 
@@ -97,10 +98,20 @@ def load_clip(
     Fast path: when the first-party C++ batch decoder is available, the whole
     clip decodes with C++ threads into one contiguous buffer (no per-frame
     Python overhead).
+
+    cache: optional ``tdeed_tpu.data.loader.FrameCache`` — decoded frames
+    are served from / inserted into the LRU; only misses decode. Falls back
+    to the uncached path on any inconsistency (mid-clip resolution change,
+    corrupt frame), so behavior is bit-identical with or without a cache.
     """
     slot_paths = _clip_frame_paths(paths, stride, pad)
     first_real = next((p for p in slot_paths if p is not None), None)
     assert first_real is not None, paths
+
+    if cache is not None:
+        out = _load_clip_cached(slot_paths, decoder, cache)
+        if out is not None:
+            return out
 
     try:
         from tdeed_tpu.native import jpeg as native_jpeg
@@ -137,6 +148,90 @@ def load_clip(
     return arr
 
 
+def _load_clip_cached(
+    slot_paths: List[Optional[str]],
+    decoder: Callable[[str], np.ndarray],
+    cache,
+) -> Optional[np.ndarray]:
+    """Assemble a clip from the decoded-frame LRU, decoding only misses.
+
+    Returns None to make the caller fall back to the uncached path (shape
+    inconsistency or a batch-decode failure, where the per-frame decoder
+    raises the proper error). Output rows are always freshly allocated or
+    copied — the returned clip never aliases cache storage.
+    """
+    hits = [cache.get(p) if p is not None else None for p in slot_paths]
+    miss = [
+        p if (p is not None and h is None) else None
+        for p, h in zip(slot_paths, hits)
+    ]
+    n_miss = sum(1 for p in miss if p is not None)
+    shape = next((h.shape for h in hits if h is not None), None)
+    if any(h is not None and h.shape != shape for h in hits):
+        return None
+
+    native = None
+    try:
+        from tdeed_tpu.native import jpeg as native_jpeg
+
+        # Same contract as the uncached fast path: C++ batch decode only
+        # when the caller actually selected the native decoder.
+        if (
+            (decoder is None or decoder is native_jpeg.decode)
+            and native_jpeg.available()
+        ):
+            native = native_jpeg
+    except Exception:
+        pass
+
+    n = len(slot_paths)
+    if n_miss > 0 and native is not None:
+        first_miss = next(p for p in miss if p is not None)
+        try:
+            h, w = native.probe(first_miss)
+        except Exception:
+            return None
+        if shape is None:
+            shape = (h, w, 3)
+        elif shape != (h, w, 3):
+            return None
+        # decode_batch zero-fills masked (None) slots, so the misses land
+        # directly in their final clip slots; hits are copied over after.
+        arr, n_ok = native.decode_batch(miss, h, w)
+        if n_ok != n_miss:
+            return None
+        for i, (p, hit) in enumerate(zip(slot_paths, hits)):
+            if hit is not None:
+                arr[i] = hit
+            elif p is not None:
+                cache.put(p, arr[i].copy())
+        return arr
+
+    decoded = {}
+    for p in miss:
+        if p is None:
+            continue
+        try:
+            d = decoder(p)
+        except Exception:
+            return None
+        if shape is None:
+            shape = d.shape
+        elif d.shape != shape:
+            return None
+        decoded[p] = d
+    if shape is None:
+        return None  # all-pad clip: let the uncached path handle it
+    out = np.zeros((n,) + tuple(shape), np.uint8)
+    for i, (p, hit) in enumerate(zip(slot_paths, hits)):
+        if hit is not None:
+            out[i] = hit
+        elif p is not None:
+            out[i] = decoded[p]
+            cache.put(p, decoded[p])
+    return out
+
+
 def load_window(
     spec,
     frame_dir: str,
@@ -147,9 +242,15 @@ def load_window(
     decoder: Callable[[str], np.ndarray],
     pad: bool = True,
     source_info: Optional[dict] = None,
+    cache=None,
 ) -> Optional[np.ndarray]:
     """Eval-time window read with missing-frame end padding
-    (ref: dataset/frame.py:558-626). Returns None if no frame decoded."""
+    (ref: dataset/frame.py:558-626). Returns None if no frame decoded.
+
+    cache: optional FrameCache — eval windows overlap 75%
+    (spec.eval_overlap_len), so consecutive windows re-decode most frames;
+    the LRU serves the repeats from memory. np.stack below always copies,
+    so the returned window never aliases cache storage."""
     path, frame0, ndigits = spec.scheme.resolve(frame_dir, video, source_info)
     frames: List[np.ndarray] = []
     n_pad_start = 0
@@ -163,10 +264,19 @@ def load_window(
             fp = os.path.join(path, str(idx).zfill(ndigits) + ".jpg")
         else:
             fp = os.path.join(path, f"frame{idx}.jpg")
+        if cache is not None:
+            hit = cache.get(fp)
+            if hit is not None:
+                frames.append(hit)
+                continue
         try:
-            frames.append(decoder(fp))
+            decoded = decoder(fp)
         except (FileNotFoundError, OSError):
             n_pad_end += 1
+            continue
+        if cache is not None:
+            cache.put(fp, decoded)
+        frames.append(decoded)
     if not frames:
         return None
     arr = np.stack(frames, axis=0)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import queue
 import random
 import threading
+from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, List, Optional
 
@@ -22,6 +23,78 @@ import numpy as np
 
 from tdeed_tpu.data.clips import ClipPlan, rasterize_labels
 from tdeed_tpu.data.frames import get_decoder, load_clip
+
+
+class FrameCache:
+    """Bounded decoded-frame LRU shared by all sampler/decoder threads.
+
+    Why it wins: training clips resample from a FIXED stored plan whose
+    windows overlap ~90% (ref: dataset/frame.py:116,210-241), so over a
+    virtual epoch the same frame file is decoded into many clips — decode
+    is the measured host bottleneck (docs/DESIGN.md "Host input pipeline"),
+    so serving repeats from memory cuts the required host cores ~hit-rate
+    fold.
+
+    Correctness argument:
+      * keyed by absolute frame path; frame stores are immutable during a
+        run and one run uses ONE decoder backend (cfg.decoder), so a path
+        fully determines the decoded pixels;
+      * cached values are frozen (``writeable=False``) contiguous copies,
+        and every consumer copies rows into freshly allocated clip buffers
+        (frames.py:_load_clip_cached) — a batch can never alias or mutate
+        the cache;
+      * stride/pad layout is applied OUTSIDE the cache (per-clip), so the
+        same cached frame serves clips of any stride/padding.
+
+    Thread safety: one lock around the OrderedDict; decode happens outside
+    the lock, so concurrent misses on the same path may decode twice —
+    harmless (identical bytes; last insert wins).
+    """
+
+    def __init__(self, capacity_bytes: int):
+        assert capacity_bytes > 0
+        self.capacity_bytes = int(capacity_bytes)
+        self._lock = threading.Lock()
+        self._data: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, path: str) -> Optional[np.ndarray]:
+        with self._lock:
+            arr = self._data.get(path)
+            if arr is None:
+                self.misses += 1
+            else:
+                self._data.move_to_end(path)
+                self.hits += 1
+            return arr
+
+    def put(self, path: str, arr: np.ndarray) -> None:
+        if arr.nbytes > self.capacity_bytes:
+            return
+        arr = np.ascontiguousarray(arr)
+        arr.flags.writeable = False
+        with self._lock:
+            if path in self._data:
+                self._data.move_to_end(path)
+                return
+            self._data[path] = arr
+            self._bytes += arr.nbytes
+            while self._bytes > self.capacity_bytes:
+                _, old = self._data.popitem(last=False)
+                self._bytes -= old.nbytes
+
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            total = self.hits + self.misses
+            return {
+                "entries": len(self._data),
+                "bytes": self._bytes,
+                "hits": self.hits,
+                "misses": self.misses,
+                "hit_rate": self.hits / total if total else 0.0,
+            }
 
 
 class ClipSampler:
@@ -36,6 +109,7 @@ class ClipSampler:
         mixup: bool,
         decoder: Callable[[str], np.ndarray] = None,
         dataset_tag: Optional[int] = None,
+        cache: Optional[FrameCache] = None,
     ):
         assert len(plan) > 0
         self.plan = plan
@@ -45,11 +119,13 @@ class ClipSampler:
         self.mixup = mixup
         self.decoder = decoder or get_decoder()
         self.dataset_tag = dataset_tag
+        self.cache = cache
 
     def _get_one(self, rng: random.Random) -> Dict[str, np.ndarray]:
         idx = rng.randint(0, len(self.plan) - 1)  # ref: frame.py:212
         frames = load_clip(
-            self.plan.frame_paths[idx], self.stride, self.decoder, pad=True
+            self.plan.frame_paths[idx], self.stride, self.decoder, pad=True,
+            cache=self.cache,
         )
         labels, labels_d = rasterize_labels(
             self.plan.labels[idx],

@@ -71,6 +71,14 @@ class SpottingPredictor:
             batch_size = -(-batch_size // n_devices) * n_devices
         self.batch_size = batch_size
         self.decoder = get_decoder(cfg.decoder)
+        # Decoded-frame LRU: serving windows overlap ~75%
+        # (spec.eval_overlap_len), so the cache serves most repeat decodes
+        # from memory (cfg.decode_cache_mb, 0 = off).
+        self._cache = None
+        if getattr(cfg, "decode_cache_mb", 0) > 0:
+            from tdeed_tpu.data.loader import FrameCache
+
+            self._cache = FrameCache(cfg.decode_cache_mb << 20)
         # Checkpoint restores land as host numpy trees; upload once so the
         # per-window predict calls don't re-transfer the weights.
         if self._mesh is not None:
@@ -270,7 +278,7 @@ class SpottingPredictor:
                     f = load_window(
                         self.spec, frame_dir, video, s, s + clip_len * stride,
                         stride, self.decoder, pad=True,
-                        source_info=source_info,
+                        source_info=source_info, cache=self._cache,
                     )
                     if f is None:
                         continue

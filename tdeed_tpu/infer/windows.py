@@ -39,6 +39,7 @@ class VideoWindows:
         pad_len: int = DEFAULT_PAD_LEN,
         labels_root: Optional[str] = None,
         decoder: Callable[[str], np.ndarray] = None,
+        cache=None,
     ):
         self.dataset = dataset
         self.spec = get_spec(dataset)
@@ -50,6 +51,9 @@ class VideoWindows:
         self.labels_root = labels_root
         self.frame_dir = frame_dir
         self.decoder = decoder or get_decoder()
+        # Optional decoded-frame LRU (data/loader.FrameCache): overlapping
+        # windows re-read ~overlap_len/clip_len of their frames.
+        self.cache = cache
         self._video_idx = {v["video"]: i for i, v in enumerate(self.videos_meta)}
 
         # Window starts (ref: dataset/frame.py:409-423)
@@ -81,6 +85,7 @@ class VideoWindows:
             self.decoder,
             pad=True,
             source_info=src,
+            cache=self.cache,
         )
         if frames is None:
             return None

@@ -114,12 +114,18 @@ def bench_decoders(vdir: str, n: int, w: int, h: int) -> dict:
 
 def bench_pipeline(
     vdir: str, n_frames: int, clip_len: int, batch: int, n_batches: int,
-    mixup: bool,
+    mixup: bool, cache_mb: int = 0, stats: dict = None,
 ) -> float:
     """Production-path frames/s: ClipSampler + BatchLoader over a plan whose
-    clips tile the synthetic video (decode + collate + prefetch queue)."""
+    clips tile the synthetic video (decode + collate + prefetch queue).
+
+    cache_mb > 0 measures the decode-ahead FrameCache path at steady state
+    (one extra warm batch fills the LRU; hit stats land in `stats`). The
+    steady-state rate is what a production epoch sees once its hot window
+    is resident — the honest production number scales with the hit rate,
+    which the synthetic tree (working set << budget) gives at ~100%."""
     from tdeed_tpu.data.clips import ClipPlan
-    from tdeed_tpu.data.loader import BatchLoader, ClipSampler
+    from tdeed_tpu.data.loader import BatchLoader, ClipSampler, FrameCache
 
     starts = range(1, max(2, n_frames - clip_len), max(1, clip_len // 4))
     plan = ClipPlan(
@@ -127,18 +133,24 @@ def bench_pipeline(
         labels=[[{"label": 1, "label_idx": 3}] for _ in starts],
         labels_d=[[{"displ": 1, "label_idx": 3}] for _ in starts],
     )
+    cache = FrameCache(cache_mb << 20) if cache_mb else None
     sampler = ClipSampler(
-        plan, clip_len=clip_len, stride=1, radi_displacement=2, mixup=mixup
+        plan, clip_len=clip_len, stride=1, radi_displacement=2, mixup=mixup,
+        cache=cache,
     )
+    n_warm = 1 if cache is None else 2
     loader = BatchLoader(
         sampler,
         batch_size=batch,
-        dataset_len=batch * (n_batches + 2),
+        dataset_len=batch * (n_batches + 1 + n_warm),
         num_workers=min(8, (os.cpu_count() or 1) * 2),
         prefetch=2,
     )
     it = loader.epoch(0)
-    next(it)  # warm: thread pool up, page cache hot
+    for _ in range(n_warm):  # warm: thread pool up, page cache / LRU hot
+        next(it)
+    if cache is not None:  # count hits over the measured region only
+        cache.hits = cache.misses = 0
     t0 = time.perf_counter()
     done = 0
     for b in it:
@@ -148,6 +160,8 @@ def bench_pipeline(
     dt = time.perf_counter() - t0
     for _ in it:  # drain so the producer thread exits
         pass
+    if cache is not None and stats is not None:
+        stats.update(cache.stats())
     return done / dt
 
 
@@ -159,6 +173,8 @@ def main(argv=None) -> dict:
     p.add_argument("--batches", type=int, default=6)
     p.add_argument("--target", type=float, default=10375.0,
                    help="device train frames/s/chip the host must feed")
+    p.add_argument("--cache_mb", type=int, default=1024,
+                   help="FrameCache budget for the cached-pipeline rows")
     args = p.parse_args(argv)
 
     w, h, clip_len, batch = GEOMS[args.geom]
@@ -179,6 +195,20 @@ def main(argv=None) -> dict:
             bench_pipeline(vdir, args.frames, clip_len, batch,
                            args.batches, mixup=True), 1
         )
+        cstats = {}
+        res["pipeline_fps_cached"] = round(
+            bench_pipeline(vdir, args.frames, clip_len, batch,
+                           args.batches, mixup=False,
+                           cache_mb=args.cache_mb, stats=cstats), 1
+        )
+        res["cache_hit_rate"] = round(cstats.get("hit_rate", 0.0), 4)
+        cstats = {}
+        res["pipeline_fps_mixup_cached"] = round(
+            bench_pipeline(vdir, args.frames, clip_len, batch,
+                           args.batches, mixup=True,
+                           cache_mb=args.cache_mb, stats=cstats), 1
+        )
+        res["cache_hit_rate_mixup"] = round(cstats.get("hit_rate", 0.0), 4)
 
     # Feed requirement: mixup decodes 2 clips per trained clip, so the
     # host must DECODE at 2x the train rate. frames/s/core from the
@@ -187,6 +217,10 @@ def main(argv=None) -> dict:
     per_core = res["pipeline_fps"] / cores
     res["pipeline_fps_per_core"] = round(per_core, 1)
     res["cores_to_feed_target"] = round(2.0 * args.target / per_core, 1)
+    per_core_c = res["pipeline_fps_mixup_cached"] / cores
+    res["cores_to_feed_target_cached"] = (
+        round(args.target / per_core_c, 1) if per_core_c else None
+    )
     res["target_fps"] = args.target
     print(json.dumps(res))
     return res
