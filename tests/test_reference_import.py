@@ -270,6 +270,61 @@ def test_fc2_double_head_routes():
     )
 
 
+@pytest.mark.slow
+def test_validate_reference_checkpoint_gate(rny002_oracle, tmp_path):
+    """Turnkey quality gate (tools/validate_reference_checkpoint.py) driven
+    end-to-end: oracle-exported checkpoint_best.pt + synthetic fixture ->
+    import -> full test-split evaluation per the reference protocol
+    (ref: train_tdeed.py:240-311) -> mAP table + verdict line. Covers both
+    load paths (.pt and an imported orbax dir) and both verdict outcomes."""
+    import os
+
+    from tests.fixtures import make_finediving_fixture, write_tiny_config
+
+    oracle, depths = rny002_oracle
+    sd = reference_state_dict_from_oracle(oracle, depths)
+    src = tmp_path / "checkpoint_best.pt"
+    torch.save(sd, src)
+
+    fx = make_finediving_fixture(
+        str(tmp_path), num_videos=1, num_frames=24, size=HW
+    )
+    cfg_root = write_tiny_config(
+        str(tmp_path), fx, model="FineDiving_gate", store_mode="load",
+        clip_len=T, crop_dim=-1, n_layers=1, sgp_ks=KS, sgp_r=K,
+        dtype="float32",
+    )
+    cfg_path = os.path.join(cfg_root, "FineDiving", "FineDiving_gate.json")
+
+    from tools.validate_reference_checkpoint import main as validate_main
+
+    out_json = tmp_path / "gate.json"
+    res = validate_main([
+        "--checkpoint", str(src), "--config", cfg_path,
+        "--data_root", fx["data_root"],
+        "--expect", "1000", "--metric", "map_avg",
+        "--tolerance", "0.5", "--out", str(out_json),
+    ])
+    assert "map_avg" in res and 0.0 <= res["map_avg"] <= 100.0
+    assert res["gate_pass"] is False  # 1000 is out of reach by design
+    assert out_json.exists()
+
+    # Same gate through the imported-orbax path must reproduce the number
+    # exactly and PASS against itself.
+    from tools.import_reference_checkpoint import main as import_main
+
+    orb = tmp_path / "imported_best"
+    import_main(["--src", str(src), "--out", str(orb)])
+    res2 = validate_main([
+        "--checkpoint", str(orb), "--config", cfg_path,
+        "--data_root", fx["data_root"],
+        "--expect", str(res["map_avg"]), "--metric", "map_avg",
+        "--tolerance", "0.5",
+    ])
+    assert res2["gate_pass"] is True
+    assert res2["map_avg"] == pytest.approx(res["map_avg"], abs=1e-9)
+
+
 def test_tool_main_orbax_roundtrip(rny002_oracle, tmp_path):
     """torch.save -> tool main() -> orbax dir -> checkpoint.restore_params
     (what the predict/challenge CLIs call) is bit-exact."""
