@@ -28,6 +28,9 @@ dropout off) — each has its own parity test elsewhere.
 Run (CPU, ~15-40 min on one contended core):
     PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python tools/convergence_check.py \
         [--steps 400] [--out /tmp/convergence.json]
+Chaos controls (either side alone, init perturbed at rounding level):
+    ... --perturb 1e-6 --skip-torch        # jax-side control
+    ... --perturb-torch 1e-6 --skip-jax    # torch-side control
 Record the results in docs/DESIGN.md.
 """
 
@@ -209,8 +212,14 @@ def main(argv=None) -> dict:
                         "measures how much rounding-level chaos ALONE moves "
                         "the terminal metrics (the scale against which any "
                         "torch-vs-jax terminal difference must be judged)")
+    p.add_argument("--perturb-torch", type=float, default=0.0,
+                   help="relative N(0,1) noise applied to the TORCH init "
+                        "(applied after the jax params are derived, so only "
+                        "the torch side moves) — the symmetric chaos control")
     p.add_argument("--skip-torch", action="store_true",
                    help="jax side only (for --perturb chaos probes)")
+    p.add_argument("--skip-jax", action="store_true",
+                   help="torch side only (for --perturb-torch chaos probes)")
     args = p.parse_args(argv)
 
     import torch
@@ -265,6 +274,14 @@ def main(argv=None) -> dict:
             for x, k in zip(leaves, keys)
         ]
         params0 = jax.tree.unflatten(treedef, leaves)
+    if args.perturb_torch:
+        # After params0 derivation: only the torch trajectory is perturbed.
+        gen = torch.Generator().manual_seed(7)
+        with torch.no_grad():
+            for prm in oracle.parameters():
+                noise = torch.randn(prm.shape, generator=gen,
+                                    dtype=prm.dtype)
+                prm.mul_(1.0 + args.perturb_torch * noise)
 
     warmup = min(2 * STEPS_PER_EPOCH, args.steps // 4)
     cosine = max(args.steps - warmup, 1)
@@ -284,9 +301,12 @@ def main(argv=None) -> dict:
                                 warmup, cosine)
         t_torch = time.time() - t0
         t0 = time.time()
-        jl, jvl, state = jax_run(batches, val_batches, args.steps, model,
-                                 params0, variables["batch_stats"],
-                                 warmup, cosine)
+        if args.skip_jax:
+            jl, jvl, state = None, None, None
+        else:
+            jl, jvl, state = jax_run(batches, val_batches, args.steps, model,
+                                     params0, variables["batch_stats"],
+                                     warmup, cosine)
         t_jax = time.time() - t0
 
         # --- final eval through the shared protocol stack ----------------
@@ -302,23 +322,28 @@ def main(argv=None) -> dict:
         )
         classes = {f"class{i}": i for i in range(1, NUM_CLASSES + 1)}
 
-        predict = jax.jit(
-            make_predict_step(model, crop_dim=None, radi_displacement=1),
-            static_argnums=(3,),
-        )
-        jp, jbs = state.params, state.batch_stats
+        if args.skip_jax:
+            maps_j, tols = None, None
+        else:
+            predict = jax.jit(
+                make_predict_step(model, crop_dim=None, radi_displacement=1),
+                static_argnums=(3,),
+            )
+            jp, jbs = state.params, state.batch_stats
 
-        def jax_pfn(frames, hflip=False):
-            return np.asarray(predict(jp, jbs, jnp.asarray(frames), hflip)[1])
+            def jax_pfn(frames, hflip=False):
+                return np.asarray(
+                    predict(jp, jbs, jnp.asarray(frames), hflip)[1]
+                )
 
-        maps_j, tols = evaluate(jax_pfn, windows, "TEST", classes,
-                                printed=False, test=True, augment=False)
+            maps_j, tols = evaluate(jax_pfn, windows, "TEST", classes,
+                                    printed=False, test=True, augment=False)
         if args.skip_torch:
             maps_t = None
         else:
-            maps_t, _ = evaluate(torch_predict_fn(oracle), windows, "TEST",
-                                 classes, printed=False, test=True,
-                                 augment=False)
+            maps_t, tols = evaluate(torch_predict_fn(oracle), windows, "TEST",
+                                    classes, printed=False, test=True,
+                                    augment=False)
 
     def tail(xs, n=20):
         return float(np.mean(xs[-n:]))
@@ -326,19 +351,22 @@ def main(argv=None) -> dict:
     res = {
         "steps": args.steps,
         "perturb": args.perturb,
-        "loss0_jax": jl[0],
-        "tail20_jax": tail(jl),
-        "best_epoch_jax": int(np.argmin(jvl)),
-        "val_losses_jax": [round(v, 4) for v in jvl],
-        "map_jax": round(float(np.mean(maps_j)), 4),
-        "maps_per_tol_jax": [round(float(m), 4) for m in maps_j],
+        "perturb_torch": args.perturb_torch,
         "tolerances": list(tols),
-        "sec_jax": round(t_jax, 1),
     }
+    if not args.skip_jax:
+        res.update({
+            "loss0_jax": jl[0],
+            "tail20_jax": tail(jl),
+            "best_epoch_jax": int(np.argmin(jvl)),
+            "val_losses_jax": [round(v, 4) for v in jvl],
+            "map_jax": round(float(np.mean(maps_j)), 4),
+            "maps_per_tol_jax": [round(float(m), 4) for m in maps_j],
+            "sec_jax": round(t_jax, 1),
+        })
     if not args.skip_torch:
         res.update({
             "loss0_torch": tl[0],
-            "loss0_rel": abs(tl[0] - jl[0]) / tl[0],
             "tail20_torch": tail(tl),
             "best_epoch_torch": int(np.argmin(tvl)),
             "val_losses_torch": [round(v, 4) for v in tvl],
@@ -346,6 +374,8 @@ def main(argv=None) -> dict:
             "maps_per_tol_torch": [round(float(m), 4) for m in maps_t],
             "sec_torch": round(t_torch, 1),
         })
+    if not (args.skip_torch or args.skip_jax):
+        res["loss0_rel"] = abs(tl[0] - jl[0]) / tl[0]
     print(json.dumps(res))
     if args.out:
         with open(args.out, "w") as fp:
