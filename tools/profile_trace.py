@@ -71,42 +71,20 @@ def build():
     return step, state, batches
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=3)
-    p.add_argument("--top", type=int, default=40)
-    p.add_argument("--logdir", default="/tmp/jax_trace_r3")
-    p.add_argument("--dump-hlo", default=None,
-                   help="also write the compiled step's HLO text here "
-                        "(trace_attrib.py joins it with the trace offline)")
-    args = p.parse_args(argv)
+def parse_trace(logdir: str, top: int = 40, steps: int = 1):
+    """Aggregate the newest trace.json.gz under logdir by device op name.
 
-    step, state, batches = build()
-    k = jax.random.PRNGKey(1)
-    if args.dump_hlo:
-        txt = step.lower(state, batches[0], k).compile().as_text()
-        with open(args.dump_hlo, "w") as fp:
-            fp.write(txt)
-        print(f"HLO dumped to {args.dump_hlo} ({len(txt)} bytes)", flush=True)
-    state, m = step(state, batches[0], k)
-    state, m = step(state, batches[1], k)
-    jax.block_until_ready(m["loss"])
-
-    with jax.profiler.trace(args.logdir):
-        for i in range(args.steps):
-            state, m = step(state, batches[i % 2], k)
-        jax.block_until_ready(m["loss"])
-
+    Returns (rows, total_ms) with rows = [(total_ms, count, name), ...]
+    sorted desc — also printed. Shared with tools/tpu_session_r5.py."""
     traces = glob.glob(
-        os.path.join(args.logdir, "**", "*.trace.json.gz"), recursive=True
+        os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True
     )
     if not traces:
         print("NO trace.json.gz produced — profiler unsupported on this "
               "backend?\nfiles under logdir:")
-        for f in glob.glob(os.path.join(args.logdir, "**", "*"),
-                           recursive=True):
+        for f in glob.glob(os.path.join(logdir, "**", "*"), recursive=True):
             print(" ", f)
-        return
+        return [], 0.0
     path = max(traces, key=os.path.getmtime)
     print("trace:", path)
     with gzip.open(path, "rt") as fp:
@@ -136,10 +114,41 @@ def main(argv=None):
         cnt[name] += 1
         total_dev += dur
     print(f"\ntotal device-event time: {total_dev:.1f} ms over "
-          f"{args.steps} steps")
+          f"{steps} steps")
     print(f"{'total ms':>9} {'n':>5}  name")
-    for name, ms in sorted(tot.items(), key=lambda kv: -kv[1])[: args.top]:
+    rows = sorted(tot.items(), key=lambda kv: -kv[1])
+    for name, ms in rows[:top]:
         print(f"{ms:9.2f} {cnt[name]:5d}  {name[:140]}")
+    return [(ms, cnt[name], name) for name, ms in rows], total_dev
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--top", type=int, default=40)
+    p.add_argument("--logdir", default="/tmp/jax_trace_r3")
+    p.add_argument("--dump-hlo", default=None,
+                   help="also write the compiled step's HLO text here "
+                        "(trace_attrib.py joins it with the trace offline)")
+    args = p.parse_args(argv)
+
+    step, state, batches = build()
+    k = jax.random.PRNGKey(1)
+    if args.dump_hlo:
+        txt = step.lower(state, batches[0], k).compile().as_text()
+        with open(args.dump_hlo, "w") as fp:
+            fp.write(txt)
+        print(f"HLO dumped to {args.dump_hlo} ({len(txt)} bytes)", flush=True)
+    state, m = step(state, batches[0], k)
+    state, m = step(state, batches[1], k)
+    jax.block_until_ready(m["loss"])
+
+    with jax.profiler.trace(args.logdir):
+        for i in range(args.steps):
+            state, m = step(state, batches[i % 2], k)
+        jax.block_until_ready(m["loss"])
+
+    parse_trace(args.logdir, args.top, args.steps)
 
 
 if __name__ == "__main__":
