@@ -37,7 +37,7 @@ HLO_OUT = "/tmp/r5_snb_hlo.txt.gz"
 TRACE_DIR = "/tmp/jax_trace_r5_snb"
 
 
-def snb_trace(steps: int = 3) -> dict:
+def snb_trace(steps: int = 3, smoke: bool = False) -> dict:
     """Phase 1: per-op device attribution of the SNB challenge train step."""
     import jax
     import jax.numpy as jnp
@@ -54,6 +54,8 @@ def snb_trace(steps: int = 3) -> dict:
     os.environ["FLIP_MODE"] = "matmul"
     os.environ["PHOTO_GATED"] = "0"  # measured-best r4 variant
     b, t, h, w = BATCH, CLIP_LEN, HEIGHT, WIDTH
+    if smoke:  # CPU plumbing check only — numbers meaningless
+        b, t, h, w = 2, 4, 32, 64
     cfg_kw = dict(
         dataset="soccernetball", num_classes=NUM_CLASSES, clip_len=t,
         crop_dim=None, feature_arch="rny002_gsf", n_layers=2, sgp_ks=9,
@@ -114,41 +116,69 @@ def snb_trace(steps: int = 3) -> dict:
     }
 
 
-def snb_geometry_probes() -> dict:
+PROBES = {
+    # name -> (height, width, extra argv)
+    "baseline_796": (448, 796, []),
+    "w768_trim": (448, 768, []),      # 6x128 lanes (slightly fewer px)
+    "w800": (448, 800, []),           # nearest mult-of-32 pad
+    "w896_pad": (448, 896, []),       # 7x128 lanes (full lane pad)
+    "h512_pad": (512, 796, []),       # sublane-axis control
+    "xla_augment_796": (448, 796, ["--no-pallas-augment"]),
+    # batch-scaling decomposition: SNB trains b4 (HBM), flagship b8 —
+    # how much of the per-pixel deficit is batch, not geometry?
+    "b8_796": (448, 796, ["--batch", "8"]),
+    "sq224_b8": (224, 224, ["--batch", "8"]),
+    "sq224_b4": (224, 224, ["--batch", "4"]),
+}
+
+
+def snb_geometry_probes(smoke: bool = False, names: str = "") -> dict:
     """Phase 2: per-pixel-normalized step rate across geometry variants."""
+    import gc
+
+    import jax
+
     from tools import bench_snb
 
-    probes = {
-        # name -> (height, width, extra argv)
-        "baseline_796": (448, 796, []),
-        "w768_trim": (448, 768, []),      # 6x128 lanes (slightly fewer px)
-        "w800": (448, 800, []),           # nearest mult-of-32 pad
-        "w896_pad": (448, 896, []),       # 7x128 lanes (full lane pad)
-        "h512_pad": (512, 796, []),       # sublane-axis control
-        "xla_augment_796": (448, 796, ["--no-pallas-augment"]),
-    }
+    probes = PROBES
+    if names:
+        probes = {k: PROBES[k] for k in names.split(",")}
+    if smoke:
+        probes = {"baseline_796": (32, 64, []),
+                  "xla_augment_796": (32, 64, ["--no-pallas-augment"])}
     out = {}
     for name, (h, w, extra) in probes.items():
         argv = [
             "--variants", "ungated", "--steps", "8", "--warmup", "3",
             "--height", str(h), "--width", str(w),
-        ] + extra
+        ] + (["--batch", "2", "--clip-len", "4"] if smoke else []) + extra
         print(f"\n=== probe {name}: {w}x{h} {extra} ===", flush=True)
         try:
             res = bench_snb.main(argv)
             row = res.get("ungated", {})
             if "ms_per_step" in row:
-                px = 4 * 100 * h * w  # batch * clip * pixels
+                px = res["batch"] * res["clip_len"] * h * w
                 row["px_per_sec"] = round(px / (row["ms_per_step"] / 1e3), 0)
             row["infer_fps"] = res.get("infer_fps")
             out[name] = row
         except Exception as e:
             out[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+        # Each probe compiles fresh executables whose device buffers the
+        # live jit caches pin — without this, probe N+1 OOMs on the
+        # accumulated HBM of probes 1..N (measured: h512 died after w896).
+        jax.clear_caches()
+        gc.collect()
         print(json.dumps({name: out[name]}), flush=True)
     return out
 
 
 def flagship_bench() -> dict:
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
     import bench
 
     return bench.main()
@@ -158,8 +188,14 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--skip", default="",
                    help="comma list: trace,probes,bench")
+    p.add_argument("--smoke", action="store_true",
+                   help="CPU plumbing check at tiny shapes (skips bench)")
+    p.add_argument("--probes", default="",
+                   help="comma list of PROBES names (default: all)")
     args = p.parse_args()
     skip = set(filter(None, args.skip.split(",")))
+    if args.smoke:
+        skip.add("bench")
 
     results: dict = {"started": time.strftime("%Y-%m-%d %H:%M:%S")}
 
@@ -178,9 +214,10 @@ def main() -> None:
         print(f"[{key}] done in {results[f'{key}_sec']}s -> {OUT}", flush=True)
 
     if "trace" not in skip:
-        record("snb_trace", snb_trace)
+        record("snb_trace", lambda: snb_trace(smoke=args.smoke))
     if "probes" not in skip:
-        record("snb_probes", snb_geometry_probes)
+        record("snb_probes", lambda: snb_geometry_probes(
+            smoke=args.smoke, names=args.probes))
     if "bench" not in skip:
         record("bench", flagship_bench)
     print(json.dumps({k: v for k, v in results.items()
