@@ -129,6 +129,16 @@ PROBES = {
     "b8_796": (448, 796, ["--batch", "8"]),
     "sq224_b8": (224, 224, ["--batch", "8"]),
     "sq224_b4": (224, 224, ["--batch", "4"]),
+    # remat-pressure interventions: the r5 trace shows ~39 ms/step (10.4%)
+    # of XLA auto-remat duplicated fusions + compressed activation copies
+    # at 796x448 b4 (docs/experiments/snb_trace_attrib_r5.txt). acc=2
+    # halves live micro-batch activations; explicit backbone remat replaces
+    # XLA's choice with structured recompute.
+    "acc2_796": (448, 796, ["--acc", "2"]),
+    "acc4_796": (448, 796, ["--acc", "4"]),
+    # optimizer batch 8 at micro-batch 4: same live activations as the b4
+    # baseline but half the optimizer/collective overhead per frame.
+    "b8_acc2_796": (448, 796, ["--batch", "8", "--acc", "2"]),
 }
 
 
@@ -166,6 +176,12 @@ def snb_geometry_probes(smoke: bool = False, names: str = "") -> dict:
         # Each probe compiles fresh executables whose device buffers the
         # live jit caches pin — without this, probe N+1 OOMs on the
         # accumulated HBM of probes 1..N (measured: h512 died after w896).
+        # MEASURED r5: clear_caches()+gc is NOT sufficient on the axon
+        # backend — after ~5 large-geometry compiles the device stays
+        # RESOURCE_EXHAUSTED for the rest of the process (even PRNGKey
+        # fails); only a fresh process/claim recovers. Run big-geometry
+        # probes <=2 per process (--probes a,b --out f.json) and batch
+        # them from a shell driver.
         jax.clear_caches()
         gc.collect()
         print(json.dumps({name: out[name]}), flush=True)
@@ -185,6 +201,7 @@ def flagship_bench() -> dict:
 
 
 def main() -> None:
+    global OUT
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--skip", default="",
                    help="comma list: trace,probes,bench")
@@ -192,7 +209,10 @@ def main() -> None:
                    help="CPU plumbing check at tiny shapes (skips bench)")
     p.add_argument("--probes", default="",
                    help="comma list of PROBES names (default: all)")
+    p.add_argument("--out", default=OUT,
+                   help="results JSON path (default %(default)s)")
     args = p.parse_args()
+    OUT = args.out
     skip = set(filter(None, args.skip.split(",")))
     if args.smoke:
         skip.add("bench")
