@@ -98,6 +98,11 @@ def main(argv=None) -> dict:
     p.add_argument("--width", type=int, default=WIDTH)
     p.add_argument("--acc", type=int, default=1,
                    help="acc_grad_iter (micro-batch = batch/acc)")
+    p.add_argument("--remat", action="store_true",
+                   help="compile with backbone remat directly — the "
+                        "OOM->remat fallback cannot work on backends where "
+                        "an OOM leaves the device RESOURCE_EXHAUSTED for "
+                        "the process lifetime (measured r5, axon)")
     p.add_argument("--no-pallas-augment", action="store_true",
                    help="force the XLA augment chain (isolates Mosaic "
                         "compile failures at non-flagship geometries)")
@@ -172,7 +177,11 @@ def main(argv=None) -> dict:
             # memory envelope: the first variant tries the plain graph, and
             # on failure falls back to remat (jax.checkpoint over the
             # backbone); later variants reuse whichever fit. RECORDED.
-            tries = [remat_used] if remat_used is not None else [False, True]
+            if args.remat:
+                tries = [True]
+            else:
+                tries = ([remat_used] if remat_used is not None
+                         else [False, True])
             err = None
             for remat in tries:
                 cfg, model, step = build_step(

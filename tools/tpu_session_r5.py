@@ -126,7 +126,7 @@ PROBES = {
     "xla_augment_796": (448, 796, ["--no-pallas-augment"]),
     # batch-scaling decomposition: SNB trains b4 (HBM), flagship b8 —
     # how much of the per-pixel deficit is batch, not geometry?
-    "b8_796": (448, 796, ["--batch", "8"]),
+    "b8_796": (448, 796, ["--batch", "8", "--remat"]),
     "sq224_b8": (224, 224, ["--batch", "8"]),
     "sq224_b4": (224, 224, ["--batch", "4"]),
     # remat-pressure interventions: the r5 trace shows ~39 ms/step (10.4%)
@@ -139,6 +139,8 @@ PROBES = {
     # optimizer batch 8 at micro-batch 4: same live activations as the b4
     # baseline but half the optimizer/collective overhead per frame.
     "b8_acc2_796": (448, 796, ["--batch", "8", "--acc", "2"]),
+    # h512 control with remat (plain graph OOMs; fallback can't recover)
+    "h512_remat": (512, 796, ["--remat"]),
 }
 
 
