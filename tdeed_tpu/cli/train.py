@@ -249,6 +249,15 @@ def main(argv=None) -> None:
     model = build_model(cfg, two_heads=two_heads)
 
     crop = cfg.crop_dim
+    if crop is None and cfg.acc_grad_iter == 1:
+        # Full-frame (crop_dim -1) training, e.g. the SNB challenge
+        # envelope at 796x448: the plain graph only fits HBM through
+        # XLA's silent rematerialization (~10% of the step). Measured:
+        # --acc_grad_iter 2 trains 19% faster at identical optimizer
+        # batch (docs/DESIGN.md "SNB 796x448 per-layer attribution").
+        print("hint: full-frame training with acc_grad_iter=1 — "
+              "--acc_grad_iter 2 measured 19% faster at this geometry "
+              "(see configs/README.md)")
     rng = jax.random.PRNGKey(args.seed)
     # init at eval-crop spatial size; shapes are polymorphic in H/W at trace
     size = crop or 224
