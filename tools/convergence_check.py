@@ -22,8 +22,12 @@ equivalence claims here are the ones that survive that chaos:
   * final train-split tolerance-mAP (memorization through the full eval
     protocol) agrees.
 
-Stochastic stages are neutralized identically (photometric off, mixup off,
-dropout off) — each has its own parity test elsewhere.
+Stochastic stages are neutralized identically (photometric off, dropout
+off) — each has its own parity test elsewhere. Mixup is off by default;
+``--mixup`` trains BOTH sides with the reference mixup recipe under
+IDENTICAL per-step lambdas (the jax side draws them from its step-folded
+PRNG; the torch side replays the exact same values — injected randomness
+at convergence scale).
 
 Run (CPU, ~15-40 min on one contended core):
     PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python tools/convergence_check.py \
@@ -57,7 +61,7 @@ LR, WD = 1e-3, 0.01
 STEPS_PER_EPOCH = 25
 
 
-def build_batches(fixture, n_batches):
+def build_batches(fixture, n_batches, mixup=False):
     """Decode a fixed batch sequence once; both frameworks replay it."""
     from tdeed_tpu.data.clips import plan_clips
     from tdeed_tpu.data.loader import BatchLoader, ClipSampler
@@ -69,13 +73,35 @@ def build_batches(fixture, n_batches):
         {f"class{i}": i for i in range(1, NUM_CLASSES + 1)},
         CLIP_LEN, 1, 0.5, 1,
     )
-    sampler = ClipSampler(plan, CLIP_LEN, 1, 1, mixup=False)
+    sampler = ClipSampler(plan, CLIP_LEN, 1, 1, mixup=mixup)
     loader = BatchLoader(sampler, B, dataset_len=B * n_batches, num_workers=2,
                          seed=11)
     return list(loader.epoch(0))
 
 
-def torch_run(batches, val_batches, steps, oracle, warmup, cosine):
+def mixup_lam_sequence(steps):
+    """Replicate the train step's per-step lambda draws host-side.
+
+    make_train_step folds the caller key with state.step
+    (train/step.py:164) and takes the first of a 4-way split as the mixup
+    key (train/step.py:86); jax PRNG is deterministic, so the torch side
+    can replay the EXACT lambdas the jitted jax step draws — injected
+    randomness without any monkeypatching (same idea as the
+    injected-lambda oracle test, extended to convergence scale)."""
+    import jax
+
+    from tdeed_tpu.train import augment
+
+    base = jax.random.PRNGKey(42)  # jax_run's step key
+    out = []
+    for s in range(steps):
+        k_mix = jax.random.split(jax.random.fold_in(base, s), 4)[0]
+        out.append(np.asarray(augment.sample_mixup_lam(k_mix, B)))
+    return out
+
+
+def torch_run(batches, val_batches, steps, oracle, warmup, cosine,
+              lam_seq=None):
     import torch
     import torch.nn.functional as F
 
@@ -95,6 +121,36 @@ def torch_run(batches, val_batches, steps, oracle, warmup, cosine):
             weight=ce_w,
         ) + F.mse_loss(pred_d, torch.from_numpy(batch["labelD"]))
 
+    def mixup_loss_of(batch, lam):
+        # Reference mixup recipe (ref: model/model.py:228-254) with the
+        # replayed lambdas: raw-pixel blend, the documented one-off bf16
+        # rounding of the blended pixels (train/augment.py:mixup_batch),
+        # soft weighted CE, mixed displacement targets.
+        lam_t = torch.from_numpy(lam)
+        blend = (
+            lam_t.view(B, 1, 1, 1, 1)
+            * torch.from_numpy(batch["frame"]).float()
+            + (1.0 - lam_t.view(B, 1, 1, 1, 1))
+            * torch.from_numpy(batch["frame2"]).float()
+        )
+        blend = blend.to(torch.bfloat16).float()
+        x = blend.permute(0, 1, 4, 2, 3) / 255.0
+        logits, pred_d = oracle((x - mean) / std)
+        oh = F.one_hot
+        soft = lam_t.view(B, 1, 1) * oh(
+            torch.from_numpy(batch["label"]).long(), NC_BG
+        ) + (1.0 - lam_t.view(B, 1, 1)) * oh(
+            torch.from_numpy(batch["label2"]).long(), NC_BG
+        )
+        loss = F.cross_entropy(
+            logits.reshape(-1, NC_BG), soft.reshape(-1, NC_BG).float(),
+            weight=ce_w,
+        )
+        mix_d = lam_t.view(B, 1) * torch.from_numpy(batch["labelD"]) + (
+            1.0 - lam_t.view(B, 1)
+        ) * torch.from_numpy(batch["labelD2"])
+        return loss + F.mse_loss(pred_d, mix_d)
+
     opt = torch.optim.AdamW(oracle.parameters(), lr=LR, betas=(0.9, 0.999),
                             eps=1e-8, weight_decay=WD)
     sched = torch.optim.lr_scheduler.ChainedScheduler([
@@ -106,7 +162,9 @@ def torch_run(batches, val_batches, steps, oracle, warmup, cosine):
     losses, val_losses = [], []
     for s in range(steps):
         oracle.train()
-        loss = loss_of(batches[s % len(batches)])
+        b = batches[s % len(batches)]
+        loss = (mixup_loss_of(b, lam_seq[s]) if lam_seq is not None
+                else loss_of(b))
         opt.zero_grad()
         loss.backward()
         opt.step()
@@ -122,7 +180,7 @@ def torch_run(batches, val_batches, steps, oracle, warmup, cosine):
 
 
 def jax_run(batches, val_batches, steps, model, params, batch_stats,
-            warmup, cosine):
+            warmup, cosine, mixup=False):
     import jax
     import jax.numpy as jnp
 
@@ -133,7 +191,7 @@ def jax_run(batches, val_batches, steps, model, params, batch_stats,
     tx = make_optimizer(LR, warmup_steps=warmup, cosine_steps=cosine)
     state = TrainState.create(params, batch_stats, tx)
     step_fn = jax.jit(make_train_step(
-        model, tx, crop_dim=None, num_classes_bg=NC_BG, mixup=False,
+        model, tx, crop_dim=None, num_classes_bg=NC_BG, mixup=mixup,
         radi_displacement=1, pallas_augment=False,
     ))
     val_fn = jax.jit(make_val_step(
@@ -141,10 +199,13 @@ def jax_run(batches, val_batches, steps, model, params, batch_stats,
     ))
 
     key = jax.random.PRNGKey(42)
+    train_keys = ("frame", "label", "labelD") + (
+        ("frame2", "label2", "labelD2") if mixup else ()
+    )
     losses, val_losses = [], []
     for s in range(steps):
         b = batches[s % len(batches)]
-        batch = {k: jnp.asarray(b[k]) for k in ("frame", "label", "labelD")}
+        batch = {k: jnp.asarray(b[k]) for k in train_keys}
         state, metrics = step_fn(state, batch, key)
         losses.append(float(metrics["loss"]))
         if (s + 1) % STEPS_PER_EPOCH == 0:
@@ -207,6 +268,13 @@ def main(argv=None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--out", default=None)
+    p.add_argument("--mixup", action="store_true",
+                   help="train BOTH sides with reference mixup "
+                        "(Beta(0.2,0.2) frame blend + soft weighted CE + "
+                        "mixed displacement targets) using IDENTICAL "
+                        "per-step lambdas: the jax side draws them from its "
+                        "step-folded PRNG, the torch side replays the exact "
+                        "same values (mixup_lam_sequence)")
     p.add_argument("--perturb", type=float, default=0.0,
                    help="relative N(0,1) noise applied to the jax init; "
                         "measures how much rounding-level chaos ALONE moves "
@@ -290,15 +358,16 @@ def main(argv=None) -> dict:
         fixture = make_finediving_fixture(
             root, num_videos=2, num_frames=48, size=SIZE
         )
-        batches = build_batches(fixture, 8)
+        batches = build_batches(fixture, 8, mixup=args.mixup)
         val_batches = batches[:2]
+        lam_seq = mixup_lam_sequence(args.steps) if args.mixup else None
 
         t0 = time.time()
         if args.skip_torch:
             tl, tvl = None, None
         else:
             tl, tvl = torch_run(batches, val_batches, args.steps, oracle,
-                                warmup, cosine)
+                                warmup, cosine, lam_seq=lam_seq)
         t_torch = time.time() - t0
         t0 = time.time()
         if args.skip_jax:
@@ -306,7 +375,7 @@ def main(argv=None) -> dict:
         else:
             jl, jvl, state = jax_run(batches, val_batches, args.steps, model,
                                      params0, variables["batch_stats"],
-                                     warmup, cosine)
+                                     warmup, cosine, mixup=args.mixup)
         t_jax = time.time() - t0
 
         # --- final eval through the shared protocol stack ----------------
@@ -350,6 +419,7 @@ def main(argv=None) -> dict:
 
     res = {
         "steps": args.steps,
+        "mixup": args.mixup,
         "perturb": args.perturb,
         "perturb_torch": args.perturb_torch,
         "tolerances": list(tols),
@@ -358,7 +428,7 @@ def main(argv=None) -> dict:
         res.update({
             "loss0_jax": jl[0],
             "tail20_jax": tail(jl),
-            "best_epoch_jax": int(np.argmin(jvl)),
+            "best_epoch_jax": int(np.argmin(jvl)) if jvl else None,
             "val_losses_jax": [round(v, 4) for v in jvl],
             "map_jax": round(float(np.mean(maps_j)), 4),
             "maps_per_tol_jax": [round(float(m), 4) for m in maps_j],
@@ -368,7 +438,7 @@ def main(argv=None) -> dict:
         res.update({
             "loss0_torch": tl[0],
             "tail20_torch": tail(tl),
-            "best_epoch_torch": int(np.argmin(tvl)),
+            "best_epoch_torch": int(np.argmin(tvl)) if tvl else None,
             "val_losses_torch": [round(v, 4) for v in tvl],
             "map_torch": round(float(np.mean(maps_t)), 4),
             "maps_per_tol_torch": [round(float(m), 4) for m in maps_t],
