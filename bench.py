@@ -181,6 +181,86 @@ def main() -> dict:
     jax.block_until_ready(probs)
     infer_fps = pb * CLIP_LEN * infer_iters / (time.perf_counter() - t0)
 
+    # --- SNB challenge-geometry training (796x448 full frames) ----------
+    # The reference's marquee capability (2024 SNB challenge win trains on
+    # full 796x448 frames, ref: extract_frames_snb.py:22-23). Measured with
+    # the documented acc_grad_iter=2 recommendation (configs/README.md;
+    # micro-batching removes the XLA auto-remat pressure, +19% — DESIGN.md
+    # "SNB 796x448 per-layer attribution"). Guarded: any failure (or a
+    # non-TPU backend, where this compile is prohibitive) just omits the
+    # field — the headline flagship numbers above are already recorded.
+    snb_fps = None
+    if jax.default_backend() == "tpu" and n_chips == 1:
+        try:
+            import gc
+
+            from tools.bench_snb import (
+                BATCH as SNB_B, CLIP_LEN as SNB_T, HEIGHT as SNB_H,
+                NUM_CLASSES as SNB_C, RADI_DISPLACEMENT as SNB_R,
+                WIDTH as SNB_W, build_step as snb_build_step,
+            )
+
+            del state, params, stats, probs, batches, batch
+            jax.clear_caches()
+            gc.collect()
+            os.environ["FLIP_MODE"] = "matmul"
+            os.environ["PHOTO_GATED"] = "0"  # measured-best at this size
+            snb_cfg_kw = dict(
+                dataset="soccernetball", num_classes=SNB_C, clip_len=SNB_T,
+                crop_dim=None, feature_arch="rny002_gsf", n_layers=2,
+                sgp_ks=9, sgp_r=4, radi_displacement=SNB_R,
+            )
+            _, snb_model, snb_step = snb_build_step(
+                snb_cfg_kw, tx, remat=False, acc=2
+            )
+
+            def snb_batch():
+                return jax.tree.map(jnp.asarray, {
+                    "frame": r.integers(
+                        0, 256, (SNB_B, SNB_T, SNB_H, SNB_W, 3), np.uint8),
+                    "label": r.integers(
+                        0, SNB_C + 1, (SNB_B, SNB_T)).astype(np.int32),
+                    "labelD": r.integers(
+                        -SNB_R, SNB_R + 1, (SNB_B, SNB_T)).astype(np.float32),
+                    "frame2": r.integers(
+                        0, 256, (SNB_B, SNB_T, SNB_H, SNB_W, 3), np.uint8),
+                    "label2": r.integers(
+                        0, SNB_C + 1, (SNB_B, SNB_T)).astype(np.int32),
+                    "labelD2": r.integers(
+                        -SNB_R, SNB_R + 1, (SNB_B, SNB_T)).astype(np.float32),
+                    "dataset": np.ones((SNB_B,), np.int32),
+                })
+
+            snb_batches = [snb_batch(), snb_batch()]
+            snb_vars = jax.jit(snb_model.init, static_argnums=(2,))(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, SNB_T, SNB_H, SNB_W, 3), jnp.float32), False,
+            )
+            snb_state = TrainState.create(
+                snb_vars["params"], snb_vars["batch_stats"], tx
+            )
+            snb_state, m = snb_step(snb_state, snb_batches[0], step_rng)
+            snb_state, m = snb_step(snb_state, snb_batches[1], step_rng)
+            jax.block_until_ready(m["loss"])
+            t0 = time.perf_counter()
+            snb_iters = 6
+            for i in range(snb_iters):
+                snb_state, m = snb_step(
+                    snb_state, snb_batches[i % 2], step_rng)
+            jax.block_until_ready(m["loss"])
+            snb_fps = SNB_B * SNB_T * snb_iters / (time.perf_counter() - t0)
+            del snb_state, snb_batches
+            jax.clear_caches()
+            gc.collect()
+        except Exception as e:
+            import sys
+
+            print(f"SNB challenge bench skipped: {type(e).__name__}",
+                  file=sys.stderr)
+        finally:
+            os.environ.pop("FLIP_MODE", None)
+            os.environ.pop("PHOTO_GATED", None)
+
     # --- host input pipeline (JPEG decode -> BatchLoader frames/s) ------
     # The train/infer numbers above are device-path (synthetic inputs, by
     # design — BASELINE.md's definition); this catches input-side
@@ -217,6 +297,8 @@ def main() -> dict:
         "vs_baseline": round(fps_per_chip / A100_BASELINE_FPS, 3),
         "infer_frames_per_sec_per_chip": round(infer_fps, 1),
     }
+    if snb_fps is not None:
+        payload["snb_challenge_train_fps_acc2"] = round(snb_fps, 1)
     if input_fps is not None:
         payload["input_frames_per_sec"] = round(input_fps, 1)
     if input_fps_cached is not None:
